@@ -1,0 +1,236 @@
+"""Soft Actor-Critic with automatic entropy tuning, as a pure grad-step.
+
+TPU-native rebuild of the reference twin-Q auto-alpha SAC trainer
+(rlkit/torch/algorithms/sac/sac_alpha.py).  The whole `train_step` is one
+pure function `(SACState, batch, key) -> (SACState, metrics)` that jits
+into a single fused XLA program; target updates are `tree_map` Polyak
+lerps instead of in-place copies.
+
+Formula parity with the reference (sac_alpha.py:78-187):
+  - Q target: r * reward_scale + (1 - terminal) * gamma *
+              (min(Q1bar, Q2bar)(s', a') - alpha * log pi(a'|s'))
+  - Q loss: 0.5 * MSE (both critics)
+  - policy loss: mean(alpha * log pi - min(Q1, Q2)(s, a_new))
+                 + mean_reg * mean(mu^2) + std_reg * mean(log_std^2)
+  - alpha loss: -mean(log_alpha * stop_grad(log pi + target_entropy)),
+    default target_entropy = -action_dim / 2 (sac_alpha.py:56-58)
+  - update order: critics first, policy against the *updated* critics,
+    then alpha; the alpha used in both losses is the previous step's
+    (sac_alpha.py:160-166 updates self.alpha last)
+  - Polyak tau on both critics every step (sac_alpha.py:245-247)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ilswiss_tpu.models import distributions as D
+from ilswiss_tpu.models.networks import FlattenMLP
+from ilswiss_tpu.models.policies import TanhGaussianPolicy
+from ilswiss_tpu.utils.pytree import copy_params, soft_update
+
+
+@dataclass(frozen=True)
+class SACConfig:
+    discount: float = 0.99
+    reward_scale: float = 1.0
+    soft_target_tau: float = 5e-3
+    policy_lr: float = 3e-4
+    qf_lr: float = 3e-4
+    alpha_lr: float = 3e-4
+    beta_1: float = 0.9
+    policy_mean_reg_weight: float = 1e-3
+    policy_std_reg_weight: float = 1e-3
+    target_entropy: float | None = None  # default -action_dim / 2
+    init_alpha: float = 1.0
+    train_alpha: bool = True
+
+
+@struct.dataclass
+class SACState:
+    policy_params: Any
+    qf1_params: Any
+    qf2_params: Any
+    target_qf1_params: Any
+    target_qf2_params: Any
+    log_alpha: jnp.ndarray
+    policy_opt: Any
+    qf1_opt: Any
+    qf2_opt: Any
+    alpha_opt: Any
+
+
+class SAC:
+    """Static trainer object: modules + config; all methods pure."""
+
+    def __init__(self, obs_size: int, action_size: int,
+                 config: SACConfig = SACConfig(),
+                 net_size: int = 256, num_hidden_layers: int = 2):
+        self.config = config
+        self.obs_size = obs_size
+        self.action_size = action_size
+        hidden = (net_size,) * num_hidden_layers
+        self.policy = TanhGaussianPolicy(
+            action_dim=action_size, hidden_sizes=hidden
+        )
+        self.qf = FlattenMLP(hidden_sizes=hidden, output_size=1)
+        self.target_entropy = (
+            config.target_entropy
+            if config.target_entropy is not None
+            else -action_size / 2.0
+        )
+        adam = lambda lr: optax.adam(lr, b1=config.beta_1, b2=0.999)
+        self.policy_tx = adam(config.policy_lr)
+        self.qf_tx = adam(config.qf_lr)
+        self.alpha_tx = adam(config.alpha_lr)
+
+    # ------------------------------------------------------------------
+    def init(self, key: jax.Array) -> SACState:
+        kp, kq1, kq2 = jax.random.split(key, 3)
+        obs = jnp.zeros((1, self.obs_size))
+        act = jnp.zeros((1, self.action_size))
+        policy_params = self.policy.init(kp, obs)
+        qf1_params = self.qf.init(kq1, obs, act)
+        qf2_params = self.qf.init(kq2, obs, act)
+        log_alpha = jnp.asarray(jnp.log(self.config.init_alpha), jnp.float32)
+        return SACState(
+            policy_params=policy_params,
+            qf1_params=qf1_params,
+            qf2_params=qf2_params,
+            target_qf1_params=copy_params(qf1_params),
+            target_qf2_params=copy_params(qf2_params),
+            log_alpha=log_alpha,
+            policy_opt=self.policy_tx.init(policy_params),
+            qf1_opt=self.qf_tx.init(qf1_params),
+            qf2_opt=self.qf_tx.init(qf2_params),
+            alpha_opt=self.alpha_tx.init(log_alpha),
+        )
+
+    # --- acting -------------------------------------------------------
+    def act(self, state: SACState, obs: jnp.ndarray, key: jax.Array,
+            deterministic: bool = False) -> jnp.ndarray:
+        mean, log_std = self.policy.apply(state.policy_params, obs)
+        if deterministic:
+            return jnp.tanh(mean)
+        action, _ = D.tanh_normal_sample(key, mean, log_std)
+        return action
+
+    # --- learning -----------------------------------------------------
+    def train_step(self, state: SACState, batch: Dict[str, jnp.ndarray],
+                   key: jax.Array) -> tuple[SACState, Dict[str, jnp.ndarray]]:
+        cfg = self.config
+        obs = batch["obs"]
+        actions = batch["action"]
+        rewards = cfg.reward_scale * batch["reward"][:, None]
+        terminals = batch["terminal"][:, None]
+        next_obs = batch["next_obs"]
+        k_next, k_new = jax.random.split(key)
+
+        alpha = jnp.exp(state.log_alpha)  # previous-step alpha
+
+        # --- critic update (sac_alpha.py:96-133) ----------------------
+        next_mean, next_log_std = self.policy.apply(
+            state.policy_params, next_obs
+        )
+        next_actions, next_pre = D.tanh_normal_sample(
+            k_next, next_mean, next_log_std
+        )
+        next_log_pi = D.tanh_normal_log_prob(
+            next_mean, next_log_std, next_actions, next_pre
+        )
+        t_q1 = self.qf.apply(state.target_qf1_params, next_obs, next_actions)
+        t_q2 = self.qf.apply(state.target_qf2_params, next_obs, next_actions)
+        min_t_q = jnp.minimum(t_q1, t_q2)
+        q_target = jax.lax.stop_gradient(
+            rewards
+            + (1.0 - terminals) * cfg.discount * (min_t_q - alpha * next_log_pi)
+        )
+
+        def qf_loss_fn(qf_params):
+            q_pred = self.qf.apply(qf_params, obs, actions)
+            return 0.5 * jnp.mean((q_pred - q_target) ** 2), q_pred
+
+        (qf1_loss, q1_pred), g1 = jax.value_and_grad(
+            qf_loss_fn, has_aux=True)(state.qf1_params)
+        (qf2_loss, q2_pred), g2 = jax.value_and_grad(
+            qf_loss_fn, has_aux=True)(state.qf2_params)
+        up1, qf1_opt = self.qf_tx.update(g1, state.qf1_opt, state.qf1_params)
+        up2, qf2_opt = self.qf_tx.update(g2, state.qf2_opt, state.qf2_params)
+        qf1_params = optax.apply_updates(state.qf1_params, up1)
+        qf2_params = optax.apply_updates(state.qf2_params, up2)
+
+        # --- policy update against updated critics (:142-155) ---------
+        def policy_loss_fn(policy_params):
+            mean, log_std = self.policy.apply(policy_params, obs)
+            new_actions, pre = D.tanh_normal_sample(k_new, mean, log_std)
+            log_pi = D.tanh_normal_log_prob(mean, log_std, new_actions, pre)
+            q_new = jnp.minimum(
+                self.qf.apply(qf1_params, obs, new_actions),
+                self.qf.apply(qf2_params, obs, new_actions),
+            )
+            loss = jnp.mean(alpha * log_pi - q_new)
+            reg = (
+                cfg.policy_mean_reg_weight * jnp.mean(mean**2)
+                + cfg.policy_std_reg_weight * jnp.mean(log_std**2)
+            )
+            return loss + reg, log_pi
+
+        (policy_loss, log_pi), gp = jax.value_and_grad(
+            policy_loss_fn, has_aux=True)(state.policy_params)
+        upp, policy_opt = self.policy_tx.update(
+            gp, state.policy_opt, state.policy_params
+        )
+        policy_params = optax.apply_updates(state.policy_params, upp)
+
+        # --- alpha update (:160-166) ----------------------------------
+        def alpha_loss_fn(log_alpha):
+            target = jax.lax.stop_gradient(log_pi + self.target_entropy)
+            return -jnp.mean(log_alpha * target)
+
+        alpha_loss, ga = jax.value_and_grad(alpha_loss_fn)(state.log_alpha)
+        if cfg.train_alpha:
+            upa, alpha_opt = self.alpha_tx.update(
+                ga, state.alpha_opt, state.log_alpha
+            )
+            log_alpha = optax.apply_updates(state.log_alpha, upa)
+        else:
+            alpha_opt = state.alpha_opt
+            log_alpha = state.log_alpha
+
+        # --- target Polyak (:245-247) ---------------------------------
+        target_qf1 = soft_update(
+            state.target_qf1_params, qf1_params, cfg.soft_target_tau
+        )
+        target_qf2 = soft_update(
+            state.target_qf2_params, qf2_params, cfg.soft_target_tau
+        )
+
+        metrics = {
+            "qf1_loss": qf1_loss,
+            "qf2_loss": qf2_loss,
+            "policy_loss": policy_loss,
+            "alpha_loss": alpha_loss,
+            "alpha": alpha,
+            "q1_pred_mean": jnp.mean(q1_pred),
+            "q2_pred_mean": jnp.mean(q2_pred),
+            "log_pi_mean": jnp.mean(log_pi),
+        }
+        new_state = SACState(
+            policy_params=policy_params,
+            qf1_params=qf1_params,
+            qf2_params=qf2_params,
+            target_qf1_params=target_qf1,
+            target_qf2_params=target_qf2,
+            log_alpha=log_alpha,
+            policy_opt=policy_opt,
+            qf1_opt=qf1_opt,
+            qf2_opt=qf2_opt,
+            alpha_opt=alpha_opt,
+        )
+        return new_state, metrics

@@ -1,0 +1,108 @@
+"""Device-resident replay buffer as pure functions.
+
+TPU-native equivalent of the reference's numpy ring buffer
+(`SimpleReplayBuffer`, rlkit/data_management/simple_replay_buffer.py):
+fixed `[capacity, ...]` HBM arrays + an int32 write cursor.  Writes are
+contiguous `dynamic_update_slice`s of the whole vectorized-env batch
+(the reference's per-transition Python `add_sample` loop,
+base_algorithm.py:489-507, becomes one fused store); sampling is a
+uniform gather.  The trajectory-endpoint dict (`_traj_endpoints`,
+simple_replay_buffer.py:65-68) is replaced by per-slot `ep_id`/`step_id`
+arrays, the array-native representation that HER-style relabeling and
+whole-trajectory fetches index into (SURVEY.md §7.3.2).
+
+Capacity is rounded up to a multiple of the write-batch so the ring write
+never splits across the wrap point — keeping the store a single
+contiguous DMA instead of a scatter.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ilswiss_tpu.envs.vector import Transition
+
+
+@struct.dataclass
+class ReplayState:
+    data: Dict[str, jnp.ndarray]  # each [capacity, ...]
+    ep_id: jnp.ndarray            # [capacity] int32 episode id of each row
+    ptr: jnp.ndarray              # int32 next write position
+    size: jnp.ndarray             # int32 number of valid rows
+
+
+def round_capacity(capacity: int, write_batch: int) -> int:
+    return ((capacity + write_batch - 1) // write_batch) * write_batch
+
+
+def replay_init(capacity: int, obs_size: int, action_size: int,
+                write_batch: int, discrete: bool = False,
+                obs_dtype=jnp.float32) -> ReplayState:
+    """Preallocate the ring (reference __init__ simple_replay_buffer.py:48-68)."""
+    capacity = round_capacity(capacity, write_batch)
+    action_shape = () if discrete else (action_size,)
+    action_dtype = jnp.int32 if discrete else jnp.float32
+    data = {
+        "obs": jnp.zeros((capacity, obs_size), obs_dtype),
+        "action": jnp.zeros((capacity,) + action_shape, action_dtype),
+        "reward": jnp.zeros((capacity,), jnp.float32),
+        "next_obs": jnp.zeros((capacity, obs_size), obs_dtype),
+        "terminal": jnp.zeros((capacity,), jnp.float32),
+    }
+    return ReplayState(
+        data=data,
+        ep_id=jnp.full((capacity,), -1, jnp.int32),
+        ptr=jnp.zeros((), jnp.int32),
+        size=jnp.zeros((), jnp.int32),
+    )
+
+
+def replay_add(state: ReplayState, tr: Transition,
+               ep_id: jnp.ndarray | None = None) -> ReplayState:
+    """Store one vectorized-env batch of B transitions at the cursor.
+
+    Requires capacity % B == 0 (guaranteed by `replay_init`), so the write
+    is one contiguous `dynamic_update_slice` per field.
+    """
+    capacity = state.data["reward"].shape[0]
+    batch = tr.reward.shape[0]
+    assert capacity % batch == 0, (capacity, batch)
+
+    updates = {
+        "obs": tr.obs,
+        "action": tr.action,
+        "reward": tr.reward,
+        "next_obs": tr.next_obs,
+        "terminal": tr.terminal.astype(jnp.float32),
+    }
+    data = dict(state.data)
+    for k, v in updates.items():
+        start = (state.ptr,) + (0,) * (v.ndim - 1)
+        data[k] = jax.lax.dynamic_update_slice(state.data[k], v, start)
+    if ep_id is None:
+        ep_id_rows = jnp.zeros((batch,), jnp.int32)
+    else:
+        ep_id_rows = ep_id.astype(jnp.int32)
+    new_ep = jax.lax.dynamic_update_slice(state.ep_id, ep_id_rows, (state.ptr,))
+    return ReplayState(
+        data=data,
+        ep_id=new_ep,
+        ptr=(state.ptr + batch) % capacity,
+        size=jnp.minimum(state.size + batch, capacity),
+    )
+
+
+def replay_sample(state: ReplayState, key: jax.Array, batch_size: int
+                  ) -> Dict[str, jnp.ndarray]:
+    """Uniform gather over valid rows (reference `random_batch`,
+    simple_replay_buffer.py:239-253)."""
+    u = jax.random.uniform(key, (batch_size,))
+    idx = jnp.minimum(
+        (u * state.size.astype(jnp.float32)).astype(jnp.int32),
+        state.size - 1,
+    )
+    return {k: v[idx] for k, v in state.data.items()}
