@@ -71,10 +71,15 @@ class SAC:
 
     def __init__(self, obs_size: int, action_size: int,
                  config: SACConfig = SACConfig(),
-                 net_size: int = 256, num_hidden_layers: int = 2):
+                 net_size: int = 256, num_hidden_layers: int = 2,
+                 axis_name: str | None = None):
         self.config = config
         self.obs_size = obs_size
         self.action_size = action_size
+        # When set, the trainer is running inside shard_map over this mesh
+        # axis: gradients are pmean-reduced so replicated params stay in
+        # sync (the learner-DP all-reduce of SURVEY.md §2.5).
+        self.axis_name = axis_name
         hidden = (net_size,) * num_hidden_layers
         self.policy = TanhGaussianPolicy(
             action_dim=action_size, hidden_sizes=hidden
@@ -160,6 +165,9 @@ class SAC:
             qf_loss_fn, has_aux=True)(state.qf1_params)
         (qf2_loss, q2_pred), g2 = jax.value_and_grad(
             qf_loss_fn, has_aux=True)(state.qf2_params)
+        if self.axis_name is not None:
+            g1 = jax.lax.pmean(g1, self.axis_name)
+            g2 = jax.lax.pmean(g2, self.axis_name)
         up1, qf1_opt = self.qf_tx.update(g1, state.qf1_opt, state.qf1_params)
         up2, qf2_opt = self.qf_tx.update(g2, state.qf2_opt, state.qf2_params)
         qf1_params = optax.apply_updates(state.qf1_params, up1)
@@ -183,6 +191,8 @@ class SAC:
 
         (policy_loss, log_pi), gp = jax.value_and_grad(
             policy_loss_fn, has_aux=True)(state.policy_params)
+        if self.axis_name is not None:
+            gp = jax.lax.pmean(gp, self.axis_name)
         upp, policy_opt = self.policy_tx.update(
             gp, state.policy_opt, state.policy_params
         )
@@ -194,6 +204,8 @@ class SAC:
             return -jnp.mean(log_alpha * target)
 
         alpha_loss, ga = jax.value_and_grad(alpha_loss_fn)(state.log_alpha)
+        if self.axis_name is not None:
+            ga = jax.lax.pmean(ga, self.axis_name)
         if cfg.train_alpha:
             upa, alpha_opt = self.alpha_tx.update(
                 ga, state.alpha_opt, state.log_alpha

@@ -34,7 +34,9 @@ class CartPole(Environment):
 
     def _reset(self, key):
         internal = jax.random.uniform(key, (4,), minval=-0.05, maxval=0.05)
-        return internal, internal
+        # obs must be a distinct buffer from internal: donated runner
+        # states reject aliased leaves ("donate the same buffer twice")
+        return internal, jnp.array(internal)
 
     def _step(self, internal, action, key):
         x, x_dot, theta, theta_dot = internal
@@ -58,9 +60,10 @@ class CartPole(Environment):
         theta_dot = theta_dot + self.tau * thetaacc
 
         internal = jnp.stack([x, x_dot, theta, theta_dot])
+        obs = jnp.array(internal)
         terminal = jnp.logical_or(
             jnp.abs(x) > self.x_threshold,
             jnp.abs(theta) > self.theta_threshold,
         )
         reward = jnp.ones((), jnp.float32)
-        return internal, internal, reward, terminal
+        return internal, obs, reward, terminal

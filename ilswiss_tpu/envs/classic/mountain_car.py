@@ -27,7 +27,8 @@ class MountainCarContinuous(Environment):
     def _reset(self, key):
         pos = jax.random.uniform(key, (), minval=-0.6, maxval=-0.4)
         internal = jnp.stack([pos, jnp.zeros(())])
-        return internal, internal
+        # distinct buffer (donation rejects aliased leaves)
+        return internal, jnp.array(internal)
 
     def _step(self, internal, action, key):
         position, velocity = internal
@@ -45,4 +46,4 @@ class MountainCarContinuous(Environment):
         terminal = position >= self.goal_position
         reward = jnp.where(terminal, 100.0, 0.0) - 0.1 * force**2
         internal = jnp.stack([position, velocity])
-        return internal, internal, reward, terminal
+        return internal, jnp.array(internal), reward, terminal

@@ -146,24 +146,22 @@ class OffPolicyLoop:
         ), metrics
 
     # ------------------------------------------------------------------
-    def build(self, steps_per_epoch: int
-              ) -> tuple[Callable, Callable]:
-        """Returns (warmup, train_epoch), both jitted with state donation."""
+    def epoch_fns(self, steps_per_epoch: int) -> tuple[Callable, Callable]:
+        """Unjitted (warmup_fn, epoch_fn) — composable under shard_map
+        (see parallel.distributed) or plain jit (see `build`)."""
         num_envs = self.vec_env.num_envs
         warmup_iters = max(
             1, self.config.min_steps_before_training // num_envs
         )
         epoch_iters = max(1, steps_per_epoch // num_envs)
 
-        @partial(jax.jit, donate_argnums=0)
-        def warmup(runner: RunnerState) -> RunnerState:
+        def warmup_fn(runner: RunnerState) -> RunnerState:
             def body(r, _):
                 return self._collect_iter(r, random_actions=True), None
             runner, _ = jax.lax.scan(body, runner, None, length=warmup_iters)
             return runner
 
-        @partial(jax.jit, donate_argnums=0)
-        def train_epoch(runner: RunnerState):
+        def epoch_fn(runner: RunnerState):
             def body(r, _):
                 return self._train_iter(r)
             runner, metrics = jax.lax.scan(
@@ -172,4 +170,12 @@ class OffPolicyLoop:
             # per-epoch means: the host drains one small pytree per epoch
             return runner, jax.tree.map(jnp.mean, metrics)
 
-        return warmup, train_epoch
+        return warmup_fn, epoch_fn
+
+    def build(self, steps_per_epoch: int) -> tuple[Callable, Callable]:
+        """Returns (warmup, train_epoch), both jitted with state donation."""
+        warmup_fn, epoch_fn = self.epoch_fns(steps_per_epoch)
+        return (
+            jax.jit(warmup_fn, donate_argnums=0),
+            jax.jit(epoch_fn, donate_argnums=0),
+        )
