@@ -1,0 +1,286 @@
+"""Adversarial imitation learning (GAIL / AIRL / FAIRL / DAC-style).
+
+Rebuild of the reference AdvIRL algorithm
+(rlkit/torch/algorithms/adv_irl/adv_irl.py:15-329): a discriminator
+trained to separate expert from policy transitions, wrapped around an
+inner off-policy trainer (SAC by default) that learns from synthesized
+rewards.  Everything — disc BCE + gradient penalty, reward synthesis,
+inner SAC updates — runs inside the fused jitted loop.
+
+Formula parity:
+  - disc input: [obs, action] or [obs, next_obs] when state_only
+    (adv_irl.py:163-180)
+  - BCE-with-logits, expert target 1 / policy target 0 (adv_irl.py:81-90,
+    182-185)
+  - Gulrajani gradient penalty on per-row eps-interpolates:
+    weight * mean((||d disc(x~)/d x~||_2 - 1)^2)  (adv_irl.py:187-210) —
+    computed with `jax.grad` w.r.t. inputs inside the disc loss, fused by
+    XLA instead of a second autograd graph
+  - reward synthesis per mode (adv_irl.py:276-289):
+      airl:  logits
+      gail:  softplus(logits)        (beta=1)
+      gail2: -softplus(-logits)      (beta=-1, log D)
+      fairl: exp(logits) * (-logits)
+    with optional min/max clipping (adv_irl.py:291-298)
+  - nested update loop per train call (adv_irl.py:126-131):
+    num_update_loops x (num_disc_updates disc steps, then
+    num_policy_updates inner-trainer steps), expert samples optionally
+    mixed into policy batches (adv_irl.py:239-255)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ilswiss_tpu.data.replay import ReplayState, replay_sample
+from ilswiss_tpu.models.discriminators import MLPDisc
+
+
+@dataclass(frozen=True)
+class AdvIRLConfig:
+    mode: str = "gail"  # airl | gail | gail2 | fairl
+    state_only: bool = False
+    disc_optim_batch_size: int = 1024
+    policy_optim_batch_size: int = 1024
+    policy_optim_batch_size_from_expert: int = 0
+    num_update_loops_per_train_call: int = 1
+    num_disc_updates_per_loop_iter: int = 1
+    num_policy_updates_per_loop_iter: int = 1
+    disc_lr: float = 1e-3
+    disc_momentum: float = 0.0
+    use_grad_pen: bool = True
+    grad_pen_weight: float = 10.0
+    rew_clip_min: float | None = None
+    rew_clip_max: float | None = None
+    # disc architecture (exp spec disc_* keys, e.g. gail_walker.yaml)
+    disc_num_blocks: int = 2
+    disc_hid_dim: int = 100
+    disc_hid_act: str = "relu"
+    disc_use_bn: bool = True
+    disc_clamp_magnitude: float = 10.0
+
+
+@struct.dataclass
+class AdvIRLState:
+    disc_params: Any         # full variables dict (params [+ batch_stats])
+    disc_opt: Any
+    policy: Any              # inner trainer state
+    expert: ReplayState
+
+
+class AdvIRL:
+    """`policy_trainer` is any off-policy trainer object (SAC/TD3/...)
+    exposing init/act/train_step; this class satisfies the same protocol
+    plus `train_call(state, replay, key)` which the loop uses instead of
+    per-batch `train_step` (the reference's _do_training override)."""
+
+    def __init__(self, obs_size: int, action_size: int, policy_trainer,
+                 expert_replay: ReplayState,
+                 config: AdvIRLConfig = AdvIRLConfig(),
+                 axis_name: str | None = None):
+        assert config.mode in ("airl", "gail", "gail2", "fairl"), config.mode
+        self.config = config
+        self.obs_size = obs_size
+        self.action_size = action_size
+        self.policy_trainer = policy_trainer
+        self.expert_replay = expert_replay
+        self.axis_name = axis_name
+        self.disc = MLPDisc(
+            num_layer_blocks=config.disc_num_blocks,
+            hid_dim=config.disc_hid_dim,
+            hid_act=config.disc_hid_act,
+            use_bn=config.disc_use_bn,
+            clamp_magnitude=config.disc_clamp_magnitude,
+        )
+        self.disc_tx = optax.adam(
+            config.disc_lr, b1=config.disc_momentum, b2=0.999
+        )
+        self.disc_input_dim = (
+            2 * obs_size if config.state_only else obs_size + action_size
+        )
+
+    # ------------------------------------------------------------------
+    def init(self, key: jax.Array) -> AdvIRLState:
+        k_disc, k_pol = jax.random.split(key)
+        disc_params = self.disc.init(
+            k_disc, jnp.zeros((2, self.disc_input_dim)), train=True
+        )
+        return AdvIRLState(
+            disc_params=disc_params,
+            disc_opt=self.disc_tx.init(disc_params["params"]),
+            policy=self.policy_trainer.init(k_pol),
+            # private copy: runner states are donated, which would delete
+            # a shared demo buffer out from under the caller
+            expert=jax.tree.map(jnp.array, self.expert_replay),
+        )
+
+    def act(self, state: AdvIRLState, obs, key, deterministic=False):
+        return self.policy_trainer.act(
+            state.policy, obs, key, deterministic=deterministic
+        )
+
+    def _pmean(self, g):
+        return g if self.axis_name is None else jax.lax.pmean(g, self.axis_name)
+
+    # ------------------------------------------------------------------
+    def _disc_input(self, batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        if self.config.state_only:
+            return jnp.concatenate([batch["obs"], batch["next_obs"]], axis=-1)
+        return jnp.concatenate([batch["obs"], batch["action"]], axis=-1)
+
+    def _disc_forward(self, variables, x, train: bool):
+        """Always returns (logits, batch_stats_updates_or_None)."""
+        if self.config.disc_use_bn and train:
+            return self.disc.apply(
+                variables, x, train=True, mutable=["batch_stats"]
+            )
+        return self.disc.apply(variables, x, train=train), None
+
+    def _disc_update(self, state: AdvIRLState, replay: ReplayState,
+                     key: jax.Array):
+        cfg = self.config
+        k_e, k_p, k_eps = jax.random.split(key, 3)
+        expert_batch = replay_sample(
+            state.expert, k_e, cfg.disc_optim_batch_size
+        )
+        policy_batch = replay_sample(replay, k_p, cfg.disc_optim_batch_size)
+        expert_in = self._disc_input(expert_batch)
+        policy_in = self._disc_input(policy_batch)
+        x = jnp.concatenate([expert_in, policy_in], axis=0)
+        targets = jnp.concatenate([
+            jnp.ones((cfg.disc_optim_batch_size, 1)),
+            jnp.zeros((cfg.disc_optim_batch_size, 1)),
+        ], axis=0)
+        eps = jax.random.uniform(k_eps, (cfg.disc_optim_batch_size, 1))
+        interp = jax.lax.stop_gradient(
+            eps * expert_in + (1.0 - eps) * policy_in
+        )
+        batch_stats = state.disc_params.get("batch_stats", None)
+
+        def loss_fn(params):
+            variables = (
+                {"params": params, "batch_stats": batch_stats}
+                if batch_stats is not None else {"params": params}
+            )
+            logits, updates = self._disc_forward(variables, x, train=True)
+            # BCEWithLogits: mean(softplus(logits) - targets * logits)
+            ce = jnp.mean(
+                jax.nn.softplus(logits) - targets * logits
+            )
+            aux = {"ce": ce, "updates": updates,
+                   "acc": jnp.mean(((logits > 0) == targets).astype(jnp.float32))}
+            if cfg.use_grad_pen:
+                def disc_sum(x_in):
+                    out = self._disc_forward(variables, x_in, train=True)[0]
+                    return jnp.sum(out)
+                grads = jax.grad(disc_sum)(interp)
+                gp = jnp.mean(
+                    (jnp.linalg.norm(grads, axis=-1) - 1.0) ** 2
+                )
+                aux["grad_pen"] = gp
+                return ce + cfg.grad_pen_weight * gp, aux
+            aux["grad_pen"] = jnp.zeros(())
+            return ce, aux
+
+        (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.disc_params["params"]
+        )
+        g = self._pmean(g)
+        up, disc_opt = self.disc_tx.update(
+            g, state.disc_opt, state.disc_params["params"]
+        )
+        new_params = optax.apply_updates(state.disc_params["params"], up)
+        disc_params = {"params": new_params}
+        if batch_stats is not None:
+            disc_params["batch_stats"] = aux["updates"]["batch_stats"]
+        metrics = {
+            "disc_ce_loss": aux["ce"],
+            "disc_acc": aux["acc"],
+            "disc_grad_pen": aux["grad_pen"],
+        }
+        return state.replace(disc_params=disc_params, disc_opt=disc_opt), metrics
+
+    # ------------------------------------------------------------------
+    def synthesize_rewards(self, state: AdvIRLState,
+                           batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        cfg = self.config
+        x = self._disc_input(batch)
+        logits, _ = self._disc_forward(state.disc_params, x, train=False)
+        logits = jax.lax.stop_gradient(logits[..., 0])
+        if cfg.mode == "airl":
+            rew = logits
+        elif cfg.mode == "gail":
+            rew = jax.nn.softplus(logits)
+        elif cfg.mode == "gail2":
+            rew = -jax.nn.softplus(-logits)  # log D
+        else:  # fairl
+            rew = jnp.exp(logits) * (-logits)
+        if cfg.rew_clip_max is not None:
+            rew = jnp.minimum(rew, cfg.rew_clip_max)
+        if cfg.rew_clip_min is not None:
+            rew = jnp.maximum(rew, cfg.rew_clip_min)
+        return rew
+
+    def _policy_update(self, state: AdvIRLState, replay: ReplayState,
+                       key: jax.Array):
+        cfg = self.config
+        k_p, k_e, k_t = jax.random.split(key, 3)
+        n_exp = cfg.policy_optim_batch_size_from_expert
+        batch = replay_sample(
+            replay, k_p, cfg.policy_optim_batch_size - n_exp
+        )
+        if n_exp > 0:
+            exp = replay_sample(state.expert, k_e, n_exp)
+            batch = {
+                k: jnp.concatenate([batch[k], exp[k]], axis=0)
+                for k in batch
+            }
+        batch = dict(batch)
+        batch["reward"] = self.synthesize_rewards(state, batch)
+        policy_state, pol_metrics = self.policy_trainer.train_step(
+            state.policy, batch, k_t
+        )
+        metrics = {f"policy_{k}": v for k, v in pol_metrics.items()}
+        metrics["disc_rew_mean"] = jnp.mean(batch["reward"])
+        return state.replace(policy=policy_state), metrics
+
+    # ------------------------------------------------------------------
+    def train_call(self, state: AdvIRLState, replay: ReplayState,
+                   key: jax.Array):
+        """One reference train call: the nested disc/policy loop
+        (adv_irl.py:126-131), as scans."""
+        cfg = self.config
+
+        def one_loop(st, k):
+            kd, kp = jax.random.split(k)
+
+            def disc_body(s, kk):
+                return self._disc_update(s, replay, kk)
+
+            st, disc_m = jax.lax.scan(
+                disc_body, st,
+                jax.random.split(kd, cfg.num_disc_updates_per_loop_iter),
+            )
+
+            def pol_body(s, kk):
+                return self._policy_update(s, replay, kk)
+
+            st, pol_m = jax.lax.scan(
+                pol_body, st,
+                jax.random.split(kp, cfg.num_policy_updates_per_loop_iter),
+            )
+            m = {**jax.tree.map(jnp.mean, disc_m),
+                 **jax.tree.map(jnp.mean, pol_m)}
+            return st, m
+
+        state, metrics = jax.lax.scan(
+            one_loop, state,
+            jax.random.split(key, cfg.num_update_loops_per_train_call),
+        )
+        return state, jax.tree.map(jnp.mean, metrics)

@@ -1,0 +1,90 @@
+"""Expert demonstration buffers.
+
+Replaces the reference's pickle-of-trajectories demo pipeline
+(run_scripts/adv_irl_exp_script.py:51-53 loads listings from
+demos_listing.yaml; trajectories are pushed into an `EnvReplayBuffer`
+via add_path, adv_irl_exp_script.py:135-138).  Here demos are stored as
+flat transition arrays in an `.npz` and loaded straight into a full
+(size == capacity) `ReplayState`, so expert sampling is the same
+uniform gather as replay sampling — and the expert buffer shards into
+HBM like any other buffer.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax.numpy as jnp
+import numpy as np
+
+from ilswiss_tpu.data.replay import ReplayState
+
+
+def demos_to_replay_state(
+    obs: np.ndarray, action: np.ndarray, reward: np.ndarray,
+    next_obs: np.ndarray, terminal: np.ndarray,
+    ep_id: np.ndarray | None = None,
+) -> ReplayState:
+    """Build a full expert ReplayState from flat transition arrays [N, ...]."""
+    n = obs.shape[0]
+    data = {
+        "obs": jnp.asarray(obs, jnp.float32),
+        "action": jnp.asarray(action),
+        "reward": jnp.asarray(reward, jnp.float32).reshape(n),
+        "next_obs": jnp.asarray(next_obs, jnp.float32),
+        "terminal": jnp.asarray(terminal, jnp.float32).reshape(n),
+    }
+    if ep_id is None:
+        ep_id = np.zeros((n,), np.int32)
+    return ReplayState(
+        data=data,
+        ep_id=jnp.asarray(ep_id, jnp.int32),
+        ptr=jnp.zeros((), jnp.int32),
+        size=jnp.asarray(n, jnp.int32),
+    )
+
+
+def trajs_to_replay_state(trajs: List[Dict[str, np.ndarray]]) -> ReplayState:
+    """trajs: list of dicts with per-step arrays
+    (observations, actions, rewards, next_observations, terminals) —
+    the reference's trajectory pickle schema."""
+    cat = lambda k: np.concatenate([t[k] for t in trajs], axis=0)
+    ep_id = np.concatenate([
+        np.full((len(t["rewards"]),), i, np.int32)
+        for i, t in enumerate(trajs)
+    ])
+    return demos_to_replay_state(
+        cat("observations"), cat("actions"), cat("rewards"),
+        cat("next_observations"), cat("terminals"), ep_id,
+    )
+
+
+def save_demos_npz(path: str, state: ReplayState) -> None:
+    np.savez_compressed(
+        path,
+        ep_id=np.asarray(state.ep_id),
+        **{k: np.asarray(v) for k, v in state.data.items()},
+    )
+
+
+def load_demos_npz(path: str) -> ReplayState:
+    z = np.load(path)
+    return demos_to_replay_state(
+        z["obs"], z["action"], z["reward"], z["next_obs"], z["terminal"],
+        z["ep_id"] if "ep_id" in z else None,
+    )
+
+
+def subsample_trajs(state: ReplayState, num_trajs: int) -> ReplayState:
+    """Keep the first `num_trajs` episodes (the reference's
+    `traj_num` demo subsetting in adv_irl_exp_script.py)."""
+    mask = np.asarray(state.ep_id) < num_trajs
+    idx = np.nonzero(mask)[0]
+    return demos_to_replay_state(
+        np.asarray(state.data["obs"])[idx],
+        np.asarray(state.data["action"])[idx],
+        np.asarray(state.data["reward"])[idx],
+        np.asarray(state.data["next_obs"])[idx],
+        np.asarray(state.data["terminal"])[idx],
+        np.asarray(state.ep_id)[idx],
+    )

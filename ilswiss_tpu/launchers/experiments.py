@@ -1,0 +1,461 @@
+"""Variant-dict -> training run, one function per algorithm family.
+
+Rebuild of the reference's run_scripts/*_exp_script.py `experiment(variant)`
+functions (e.g. sac_alpha_exp_script.py:23-101): consume the SAME yaml
+variant schema (net_size / rl_alg_params / <algo>_params / env_specs)
+so reference exp_specs work with the TPU runner.
+
+Schedule mapping: the reference interleaves
+`num_steps_between_train_calls` env steps with
+`num_train_steps_per_train_call` gradient steps on one env stream; with
+B lockstep envs one loop iteration advances B env steps, so
+grad_steps_per_iter = round(B * train_steps / steps_between).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable, Dict
+
+import jax
+import numpy as np
+
+from ilswiss_tpu.envs import make_vec
+from ilswiss_tpu.logging.logger import Logger
+from ilswiss_tpu.runtime.checkpoint import SnapshotManager
+from ilswiss_tpu.runtime.evaluator import make_evaluator
+from ilswiss_tpu.runtime.loop import OffPolicyConfig, OffPolicyLoop
+from ilswiss_tpu.runtime.onpolicy import OnPolicyConfig, OnPolicyLoop
+
+
+def _alg(variant: Dict, key: str) -> Dict:
+    return dict(variant.get(key) or {})
+
+
+def _setup(variant: Dict, default_exp_name: str):
+    seed = int(variant.get("seed", 0))
+    env_specs = _alg(variant, "env_specs")
+    env_name = env_specs.get("env_name", "pendulum")
+    env_kwargs = dict(env_specs.get("env_kwargs") or {})
+    rl = _alg(variant, "rl_alg_params")
+    max_path_length = int(rl.get("max_path_length", 1000))
+    env_kwargs.setdefault("max_episode_steps", max_path_length)
+    num_envs = int(env_specs.get("env_num", 1))
+
+    log_dir = variant.get("log_dir") or os.path.join(
+        "logs", variant.get("exp_name", default_exp_name),
+        f"seed_{seed}_id{variant.get('exp_id', 0)}",
+    )
+    logger = Logger(
+        log_dir,
+        use_tensorboard=bool(variant.get("use_tensorboard", False)),
+        use_wandb=bool(variant.get("use_wandb", False)),
+        print_to_console=bool(variant.get("print_to_console", True)),
+    )
+    logger.save_variant(variant)
+    return seed, env_name, env_kwargs, num_envs, rl, logger
+
+
+def _grad_steps_per_iter(rl: Dict, num_envs: int) -> int:
+    between = max(1, int(rl.get("num_steps_between_train_calls", 1000)))
+    per_call = int(rl.get("num_train_steps_per_train_call", 1000))
+    return max(1, round(num_envs * per_call / between))
+
+
+def _run_off_policy(algo, vec, rl: Dict, logger: Logger, seed: int,
+                    eval_vec=None, deterministic_eval=True):
+    loop = OffPolicyLoop(
+        vec, algo,
+        OffPolicyConfig(
+            batch_size=int(rl.get("batch_size", 256)),
+            replay_capacity=int(rl.get("replay_buffer_size", 1_000_000)),
+            min_steps_before_training=int(
+                rl.get("min_steps_before_training", 1000)),
+            grad_steps_per_iter=_grad_steps_per_iter(rl, vec.num_envs),
+        ),
+    )
+    steps_per_epoch = int(rl.get("num_steps_per_epoch", 10_000))
+    num_epochs = int(rl.get("num_epochs", 100))
+    max_path_length = int(rl.get("max_path_length", 1000))
+    eval_vec = eval_vec or vec
+
+    warmup, train_epoch = loop.build(steps_per_epoch)
+    evaluator = make_evaluator(
+        eval_vec,
+        lambda s, o, k: algo.act(s, o, k, deterministic=deterministic_eval),
+        max_path_length,
+    )
+    snap = SnapshotManager(
+        logger.log_dir,
+        mode=str(rl.get("snapshot_mode", "gap_and_last")),
+        gap=int(rl.get("freq_saving", 10)),
+        save_best=bool(rl.get("save_best", True)),
+    )
+
+    runner = loop.init(jax.random.PRNGKey(seed))
+    runner = warmup(runner)
+    logger.log(f"warmup done: {int(runner.total_env_steps)} env steps")
+
+    for epoch in range(num_epochs):
+        t0 = time.time()
+        runner, metrics = train_epoch(runner)
+        metrics = jax.device_get(metrics)
+        train_time = time.time() - t0
+
+        t0 = time.time()
+        eval_stats = jax.device_get(
+            evaluator(runner.algo_state, jax.random.PRNGKey(seed + epoch + 1))
+        )
+        eval_time = time.time() - t0
+
+        logger.record_dict({k: float(v) for k, v in metrics.items()},
+                           prefix="trainer/")
+        logger.record_dict({k: float(v) for k, v in eval_stats.items()})
+        logger.record_tabular("TotalEnvSteps",
+                              int(np.sum(jax.device_get(
+                                  runner.total_env_steps))))
+        logger.record_tabular("TrainTime", train_time)
+        logger.record_tabular("EvalTime", eval_time)
+        logger.record_tabular(
+            "EnvStepsPerSec",
+            steps_per_epoch / max(train_time, 1e-9))
+        logger.dump_tabular(epoch)
+        snap.on_epoch(epoch, runner, eval_stats)
+    logger.close()
+    return runner
+
+
+# --------------------------------------------------------------------------
+def run_sac(variant: Dict[str, Any]):
+    """SAC auto-alpha (reference run_scripts/sac_alpha_exp_script.py)."""
+    from ilswiss_tpu.algorithms.sac import SAC, SACConfig
+
+    seed, env_name, env_kwargs, num_envs, rl, logger = _setup(variant, "sac")
+    vec = make_vec(env_name, num_envs=num_envs, **env_kwargs)
+    p = _alg(variant, "sac_params")
+    algo = SAC(
+        obs_size=vec.env.observation_size,
+        action_size=vec.env.action_size,
+        config=SACConfig(
+            discount=float(p.get("discount", 0.99)),
+            reward_scale=float(p.get("reward_scale", 1.0)),
+            soft_target_tau=float(p.get("soft_target_tau", 5e-3)),
+            policy_lr=float(p.get("policy_lr", 3e-4)),
+            qf_lr=float(p.get("qf_lr", 3e-4)),
+            alpha_lr=float(p.get("alpha_lr", 3e-4)),
+            policy_mean_reg_weight=float(
+                p.get("policy_mean_reg_weight", 1e-3)),
+            policy_std_reg_weight=float(
+                p.get("policy_std_reg_weight", 1e-3)),
+            target_entropy=p.get("target_entropy"),
+        ),
+        net_size=int(variant.get("net_size", 256)),
+        num_hidden_layers=int(variant.get("num_hidden_layers", 2)),
+    )
+    return _run_off_policy(algo, vec, rl, logger, seed)
+
+
+def run_sac_v(variant: Dict[str, Any]):
+    """Original SAC w/ value net (reference run_scripts/sac_exp_script.py)."""
+    from ilswiss_tpu.algorithms.sac_v import SACV, SACVConfig
+
+    seed, env_name, env_kwargs, num_envs, rl, logger = _setup(variant, "sac_v")
+    vec = make_vec(env_name, num_envs=num_envs, **env_kwargs)
+    p = _alg(variant, "sac_params")
+    algo = SACV(
+        obs_size=vec.env.observation_size,
+        action_size=vec.env.action_size,
+        config=SACVConfig(
+            discount=float(p.get("discount", 0.99)),
+            reward_scale=float(p.get("reward_scale", 1.0)),
+            alpha=float(p.get("alpha", 1.0)),
+            soft_target_tau=float(p.get("soft_target_tau", 5e-3)),
+            policy_lr=float(p.get("policy_lr", 3e-4)),
+            qf_lr=float(p.get("qf_lr", 3e-4)),
+            vf_lr=float(p.get("vf_lr", 1e-3)),
+        ),
+        net_size=int(variant.get("net_size", 256)),
+        num_hidden_layers=int(variant.get("num_hidden_layers", 2)),
+    )
+    return _run_off_policy(algo, vec, rl, logger, seed)
+
+
+def run_td3(variant: Dict[str, Any]):
+    from ilswiss_tpu.algorithms.td3 import TD3, TD3Config
+
+    seed, env_name, env_kwargs, num_envs, rl, logger = _setup(variant, "td3")
+    vec = make_vec(env_name, num_envs=num_envs, **env_kwargs)
+    p = _alg(variant, "td3_params")
+    algo = TD3(
+        obs_size=vec.env.observation_size,
+        action_size=vec.env.action_size,
+        config=TD3Config(
+            discount=float(p.get("discount", 0.99)),
+            reward_scale=float(p.get("reward_scale", 1.0)),
+            soft_target_tau=float(p.get("soft_target_tau", 5e-3)),
+            policy_lr=float(p.get("policy_lr", 1e-3)),
+            qf_lr=float(p.get("qf_lr", 1e-3)),
+            target_policy_noise=float(p.get("target_policy_noise", 0.2)),
+            target_policy_noise_clip=float(
+                p.get("target_policy_noise_clip", 0.5)),
+            policy_and_target_update_period=int(
+                p.get("policy_and_target_update_period", 2)),
+            exploration_noise=float(p.get("exploration_noise", 0.1)),
+        ),
+        net_size=int(variant.get("net_size", 256)),
+        num_hidden_layers=int(variant.get("num_hidden_layers", 2)),
+    )
+    return _run_off_policy(algo, vec, rl, logger, seed)
+
+
+def run_ddpg(variant: Dict[str, Any]):
+    from ilswiss_tpu.algorithms.ddpg import DDPG, DDPGConfig
+
+    seed, env_name, env_kwargs, num_envs, rl, logger = _setup(variant, "ddpg")
+    vec = make_vec(env_name, num_envs=num_envs, **env_kwargs)
+    p = _alg(variant, "ddpg_params")
+    algo = DDPG(
+        obs_size=vec.env.observation_size,
+        action_size=vec.env.action_size,
+        config=DDPGConfig(
+            discount=float(p.get("discount", 0.99)),
+            reward_scale=float(p.get("reward_scale", 1.0)),
+            policy_lr=float(p.get("policy_lr", 1e-4)),
+            qf_lr=float(p.get("qf_lr", 1e-3)),
+            soft_target_tau=float(p.get("soft_target_tau", 1e-2)),
+        ),
+        net_size=int(variant.get("net_size", 256)),
+        num_hidden_layers=int(variant.get("num_hidden_layers", 2)),
+    )
+    return _run_off_policy(algo, vec, rl, logger, seed)
+
+
+def run_dqn(variant: Dict[str, Any]):
+    from ilswiss_tpu.algorithms.dqn import DQN, DQNConfig
+
+    seed, env_name, env_kwargs, num_envs, rl, logger = _setup(variant, "dqn")
+    vec = make_vec(env_name, num_envs=num_envs, **env_kwargs)
+    p = _alg(variant, "dqn_params")
+    algo = DQN(
+        obs_size=vec.env.observation_size,
+        num_actions=vec.env.action_size,
+        config=DQNConfig(
+            discount=float(p.get("discount", 0.99)),
+            qf_lr=float(p.get("qf_lr", 1e-3)),
+            double_dqn=bool(p.get("double_dqn", True)),
+            target_update_period=int(p.get("target_update_period", 500)),
+        ),
+        net_size=int(variant.get("net_size", 256)),
+        num_hidden_layers=int(variant.get("num_hidden_layers", 2)),
+    )
+    return _run_off_policy(algo, vec, rl, logger, seed)
+
+
+def run_discrete_sac(variant: Dict[str, Any]):
+    from ilswiss_tpu.algorithms.discrete_sac import (
+        DiscreteSAC, DiscreteSACConfig,
+    )
+
+    seed, env_name, env_kwargs, num_envs, rl, logger = _setup(
+        variant, "discrete_sac")
+    vec = make_vec(env_name, num_envs=num_envs, **env_kwargs)
+    p = _alg(variant, "sac_params")
+    algo = DiscreteSAC(
+        obs_size=vec.env.observation_size,
+        num_actions=vec.env.action_size,
+        config=DiscreteSACConfig(
+            discount=float(p.get("discount", 0.99)),
+            reward_scale=float(p.get("reward_scale", 1.0)),
+            alpha=float(p.get("alpha", 1.0)),
+            soft_target_tau=float(p.get("soft_target_tau", 1e-2)),
+            policy_lr=float(p.get("policy_lr", 1e-3)),
+            qf_lr=float(p.get("qf_lr", 1e-3)),
+        ),
+        net_size=int(variant.get("net_size", 256)),
+        num_hidden_layers=int(variant.get("num_hidden_layers", 2)),
+    )
+    return _run_off_policy(algo, vec, rl, logger, seed)
+
+
+def run_ppo(variant: Dict[str, Any]):
+    from ilswiss_tpu.algorithms.ppo import PPO, PPOConfig
+
+    seed, env_name, env_kwargs, num_envs, rl, logger = _setup(variant, "ppo")
+    vec = make_vec(env_name, num_envs=num_envs, **env_kwargs)
+    p = _alg(variant, "ppo_params")
+    algo = PPO(
+        obs_size=vec.env.observation_size,
+        action_size=vec.env.action_size,
+        config=PPOConfig(
+            discount=float(p.get("discount", 0.99)),
+            reward_scale=float(p.get("reward_scale", 1.0)),
+            gae_tau=float(p.get("gae_tau", 0.9)),
+            clip_eps=float(p.get("clip_eps", 0.2)),
+            policy_lr=float(p.get("policy_lr", 3e-4)),
+            value_lr=float(p.get("value_lr", 3e-4)),
+            value_l2_reg=float(p.get("value_l2_reg", 1e-3)),
+            use_value_clip=bool(p.get("use_value_clip", False)),
+            update_epoch=int(p.get("update_epoch", 10)),
+            mini_batch_size=int(p.get("mini_batch_size", 64)),
+        ),
+        net_size=int(variant.get("net_size", 256)),
+        num_hidden_layers=int(variant.get("num_hidden_layers", 2)),
+    )
+    loop = OnPolicyLoop(
+        vec, algo,
+        OnPolicyConfig(rollout_length=int(p.get("rollout_length", 128))),
+    )
+    steps_per_epoch = int(rl.get("num_steps_per_epoch", 10_000))
+    num_epochs = int(rl.get("num_epochs", 100))
+    max_path_length = int(rl.get("max_path_length", 1000))
+
+    warmup, train_epoch = loop.build(steps_per_epoch)
+    evaluator = make_evaluator(
+        vec, lambda s, o, k: algo.act(s, o, k, deterministic=True),
+        max_path_length,
+    )
+    snap = SnapshotManager(
+        logger.log_dir, gap=int(rl.get("freq_saving", 10)),
+        save_best=bool(rl.get("save_best", True)),
+    )
+    runner = loop.init(jax.random.PRNGKey(seed))
+    for epoch in range(num_epochs):
+        t0 = time.time()
+        runner, metrics = train_epoch(runner)
+        metrics = jax.device_get(metrics)
+        train_time = time.time() - t0
+        eval_stats = jax.device_get(
+            evaluator(runner.algo_state, jax.random.PRNGKey(seed + epoch + 1))
+        )
+        logger.record_dict({k: float(v) for k, v in metrics.items()},
+                           prefix="trainer/")
+        logger.record_dict({k: float(v) for k, v in eval_stats.items()})
+        logger.record_tabular("TotalEnvSteps", int(runner.total_env_steps))
+        logger.record_tabular("TrainTime", train_time)
+        logger.dump_tabular(epoch)
+        snap.on_epoch(epoch, runner, eval_stats)
+    logger.close()
+    return runner
+
+
+def run_bc(variant: Dict[str, Any]):
+    """BC from demos (reference run_scripts/bc_exp_script.py)."""
+    from ilswiss_tpu.algorithms.bc import BC, BCConfig
+    from ilswiss_tpu.data.demo import load_demos_npz, subsample_trajs
+    from ilswiss_tpu.runtime.offline import OfflineLoop
+
+    seed, env_name, env_kwargs, num_envs, rl, logger = _setup(variant, "bc")
+    vec = make_vec(env_name, num_envs=max(num_envs, 8), **env_kwargs)
+    p = _alg(variant, "bc_params")
+    demos = load_demos_npz(variant["demo_path"])
+    if variant.get("traj_num"):
+        demos = subsample_trajs(demos, int(variant["traj_num"]))
+    algo = BC(
+        obs_size=vec.env.observation_size,
+        action_size=vec.env.action_size,
+        config=BCConfig(
+            mode=str(p.get("mode", "MLE")),
+            lr=float(p.get("lr", 1e-3)),
+        ),
+        net_size=int(variant.get("net_size", 256)),
+        num_hidden_layers=int(variant.get("num_hidden_layers", 2)),
+    )
+    loop = OfflineLoop(algo, demos,
+                       batch_size=int(rl.get("batch_size", 256)))
+    steps_per_epoch = int(rl.get("num_train_steps_per_train_call", 1000))
+    num_epochs = int(rl.get("num_epochs", 100))
+    _, train_epoch = loop.build(steps_per_epoch)
+    evaluator = make_evaluator(
+        vec, lambda s, o, k: algo.act(s, o, k, deterministic=True),
+        int(rl.get("max_path_length", 1000)),
+    )
+    snap = SnapshotManager(logger.log_dir,
+                           gap=int(rl.get("freq_saving", 10)))
+    runner = loop.init(jax.random.PRNGKey(seed))
+    for epoch in range(num_epochs):
+        runner, metrics = train_epoch(runner)
+        eval_stats = jax.device_get(
+            evaluator(runner.algo_state, jax.random.PRNGKey(seed + epoch + 1))
+        )
+        logger.record_dict(
+            {k: float(v) for k, v in jax.device_get(metrics).items()},
+            prefix="trainer/")
+        logger.record_dict({k: float(v) for k, v in eval_stats.items()})
+        logger.dump_tabular(epoch)
+        snap.on_epoch(epoch, runner, eval_stats)
+    logger.close()
+    return runner
+
+
+def run_adv_irl(variant: Dict[str, Any]):
+    """GAIL/AIRL/FAIRL (reference run_scripts/adv_irl_exp_script.py)."""
+    from ilswiss_tpu.algorithms.adv_irl import AdvIRL, AdvIRLConfig
+    from ilswiss_tpu.algorithms.sac import SAC, SACConfig
+    from ilswiss_tpu.data.demo import load_demos_npz, subsample_trajs
+
+    seed, env_name, env_kwargs, num_envs, rl, logger = _setup(
+        variant, "adv_irl")
+    vec = make_vec(env_name, num_envs=num_envs, **env_kwargs)
+    demos = load_demos_npz(variant["demo_path"])
+    if variant.get("traj_num"):
+        demos = subsample_trajs(demos, int(variant["traj_num"]))
+
+    sp = _alg(variant, "sac_params")
+    sac = SAC(
+        obs_size=vec.env.observation_size,
+        action_size=vec.env.action_size,
+        config=SACConfig(
+            discount=float(sp.get("discount", 0.99)),
+            reward_scale=float(sp.get("reward_scale", 2.0)),
+            soft_target_tau=float(sp.get("soft_target_tau", 5e-3)),
+            policy_lr=float(sp.get("policy_lr", 3e-4)),
+            qf_lr=float(sp.get("qf_lr", 3e-4)),
+        ),
+        net_size=int(variant.get("policy_net_size", 256)),
+        num_hidden_layers=int(variant.get("policy_num_hidden_layers", 2)),
+    )
+    p = _alg(variant, "adv_irl_params")
+    algo = AdvIRL(
+        vec.env.observation_size, vec.env.action_size, sac, demos,
+        AdvIRLConfig(
+            mode=str(p.get("mode", "gail")),
+            state_only=bool(p.get("state_only", False)),
+            disc_optim_batch_size=int(p.get("disc_optim_batch_size", 1024)),
+            policy_optim_batch_size=int(
+                p.get("policy_optim_batch_size", 1024)),
+            num_update_loops_per_train_call=int(
+                p.get("num_update_loops_per_train_call", 1)),
+            num_disc_updates_per_loop_iter=int(
+                p.get("num_disc_updates_per_loop_iter", 1)),
+            num_policy_updates_per_loop_iter=int(
+                p.get("num_policy_updates_per_loop_iter", 1)),
+            disc_lr=float(p.get("disc_lr", 3e-4)),
+            disc_momentum=float(p.get("disc_momentum", 0.9)),
+            use_grad_pen=bool(p.get("use_grad_pen", True)),
+            grad_pen_weight=float(p.get("grad_pen_weight", 10.0)),
+            rew_clip_min=p.get("rew_clip_min"),
+            rew_clip_max=p.get("rew_clip_max"),
+            disc_num_blocks=int(variant.get("disc_num_blocks", 2)),
+            disc_hid_dim=int(variant.get("disc_hid_dim", 128)),
+            disc_hid_act=str(variant.get("disc_hid_act", "tanh")),
+            disc_use_bn=bool(variant.get("disc_use_bn", False)),
+            disc_clamp_magnitude=float(
+                variant.get("disc_clamp_magnitude", 10.0)),
+        ),
+    )
+    return _run_off_policy(algo, vec, rl, logger, seed)
+
+
+EXPERIMENTS: Dict[str, Callable] = {
+    "sac": run_sac,
+    "sac_v": run_sac_v,
+    "td3": run_td3,
+    "ddpg": run_ddpg,
+    "dqn": run_dqn,
+    "discrete_sac": run_discrete_sac,
+    "ppo": run_ppo,
+    "bc": run_bc,
+    "adv_irl": run_adv_irl,
+    "gail": run_adv_irl,
+}

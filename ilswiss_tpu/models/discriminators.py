@@ -1,0 +1,70 @@
+"""Adversarial-IL discriminators.
+
+Rebuild of the reference disc zoo
+(rlkit/torch/algorithms/adv_irl/disc_models/simple_disc_models.py and
+resnet/rnn/cnn variants).  `MLPDisc` matches the reference architecture
+(simple_disc_models.py:8-48): Linear -> [BatchNorm] -> act blocks with a
+final scalar logit clamped to +-clamp_magnitude.
+
+BatchNorm is stateful: callers thread a `batch_stats` collection through
+`apply(..., mutable=["batch_stats"])` during disc training and use
+`use_running_average=True` (the reference's `.eval()` switch,
+adv_irl.py:268-274) when synthesizing policy rewards.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class MLPDisc(nn.Module):
+    num_layer_blocks: int = 2
+    hid_dim: int = 100
+    hid_act: str = "relu"
+    use_bn: bool = True
+    clamp_magnitude: float = 10.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        act = nn.relu if self.hid_act == "relu" else jnp.tanh
+        for i in range(self.num_layer_blocks):
+            x = nn.Dense(self.hid_dim, name=f"dense_{i}")(x)
+            if self.use_bn:
+                x = nn.BatchNorm(
+                    use_running_average=not train, name=f"bn_{i}"
+                )(x)
+            x = act(x)
+        x = nn.Dense(1, name="logit")(x)
+        return jnp.clip(x, -self.clamp_magnitude, self.clamp_magnitude)
+
+
+class ResNetAIRLDisc(nn.Module):
+    """Residual MLP disc (reference `ResNetAIRLDisc`,
+    simple_disc_models.py:51+): dense blocks with skip connections."""
+
+    num_layer_blocks: int = 2
+    hid_dim: int = 100
+    hid_act: str = "tanh"
+    use_bn: bool = False
+    clamp_magnitude: float = 10.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        act = nn.relu if self.hid_act == "relu" else jnp.tanh
+        x = nn.Dense(self.hid_dim, name="embed")(x)
+        if self.use_bn:
+            x = nn.BatchNorm(use_running_average=not train, name="bn_in")(x)
+        x = act(x)
+        for i in range(self.num_layer_blocks):
+            h = nn.Dense(self.hid_dim, name=f"res_{i}_a")(x)
+            if self.use_bn:
+                h = nn.BatchNorm(
+                    use_running_average=not train, name=f"res_{i}_bn"
+                )(h)
+            h = act(h)
+            x = x + h
+        x = nn.Dense(1, name="logit")(x)
+        return jnp.clip(x, -self.clamp_magnitude, self.clamp_magnitude)

@@ -1,0 +1,78 @@
+"""Checkpoint / resume: one train-state pytree via Orbax.
+
+Rebuild of the reference snapshot system (rlkit/core/logger.py:345-367
+save modes + `load_from_file` resume :31-49; whole pickled networks and
+optimizers, sac_alpha.py:249-273).  Here the entire runner state —
+params, optimizer states, alpha, env states, replay arrays, counters,
+PRNG keys — is ONE pytree, so save/restore is a single sharded Orbax
+round-trip and resume is restore + recompile (SURVEY.md §5.4).
+
+Snapshot modes mirror the reference: 'all' | 'last' | 'gap' |
+'gap_and_last' | 'none' (logger.py:345-367), plus best-by-metric
+checkpoints (base_algorithm.py:644-656).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _abs(path: str) -> str:
+    return os.path.abspath(os.path.expanduser(path))
+
+
+def save_checkpoint(path: str, state: Any) -> None:
+    with ocp.PyTreeCheckpointer() as ckpt:
+        ckpt.save(_abs(path), state, force=True)
+
+
+def restore_checkpoint(path: str, template: Any) -> Any:
+    """Restore into the structure/shardings of `template`."""
+    with ocp.PyTreeCheckpointer() as ckpt:
+        restored = ckpt.restore(_abs(path), item=template)
+    return restored
+
+
+class SnapshotManager:
+    """Decides when/where to write epoch snapshots."""
+
+    def __init__(self, log_dir: str, mode: str = "gap_and_last",
+                 gap: int = 10, save_best: bool = True,
+                 best_key: str = "AverageReturn"):
+        assert mode in ("all", "last", "gap", "gap_and_last", "none"), mode
+        self.dir = os.path.join(log_dir, "checkpoints")
+        os.makedirs(self.dir, exist_ok=True)
+        self.mode = mode
+        self.gap = gap
+        self.save_best = save_best
+        self.best_key = best_key
+        self.best_value = -float("inf")
+
+    def on_epoch(self, epoch: int, state: Any,
+                 eval_stats: dict | None = None) -> None:
+        if self.mode == "all":
+            save_checkpoint(os.path.join(self.dir, f"epoch_{epoch}"), state)
+        elif self.mode == "last":
+            save_checkpoint(os.path.join(self.dir, "last"), state)
+        elif self.mode == "gap":
+            if epoch % self.gap == 0:
+                save_checkpoint(
+                    os.path.join(self.dir, f"epoch_{epoch}"), state
+                )
+        elif self.mode == "gap_and_last":
+            if epoch % self.gap == 0:
+                save_checkpoint(
+                    os.path.join(self.dir, f"epoch_{epoch}"), state
+                )
+            save_checkpoint(os.path.join(self.dir, "last"), state)
+
+        if (self.save_best and eval_stats is not None
+                and self.best_key in eval_stats):
+            v = float(eval_stats[self.best_key])
+            if v > self.best_value:
+                self.best_value = v
+                save_checkpoint(os.path.join(self.dir, "best"), state)

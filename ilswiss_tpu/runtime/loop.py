@@ -122,6 +122,23 @@ class OffPolicyLoop:
                     ) -> tuple[RunnerState, Dict[str, jnp.ndarray]]:
         runner = self._collect_iter(runner, random_actions=False)
 
+        # Algorithms that own their update schedule (AdvIRL's nested
+        # disc/policy loop, MBPO's model phases — the reference's
+        # _do_training overrides) expose `train_call(state, replay, key)`
+        # and sample the replay themselves.
+        if hasattr(self.algo, "train_call"):
+            rng, k_call = jax.random.split(runner.rng)
+            algo_state, metrics = self.algo.train_call(
+                runner.algo_state, runner.replay, k_call
+            )
+            return RunnerState(
+                rng=rng,
+                env_state=runner.env_state,
+                replay=runner.replay,
+                algo_state=algo_state,
+                total_env_steps=runner.total_env_steps,
+            ), metrics
+
         def one_grad_step(carry, key):
             algo_state, replay = carry
             k_samp, k_train = jax.random.split(key)

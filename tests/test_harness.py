@@ -1,0 +1,124 @@
+"""Harness layer: variant grids, logger sinks, checkpoints, end-to-end
+spec run (the reference's launcher/logger subsystem, SURVEY.md §2.1/§5.4-5.6)."""
+
+import csv
+import os
+
+import jax
+import numpy as np
+import pytest
+import yaml
+
+from ilswiss_tpu.launchers.variant import (
+    build_variants, check_exp_spec_format, flatten_dict, unflatten_dict,
+)
+from ilswiss_tpu.logging.logger import Logger
+
+
+def test_flatten_unflatten_roundtrip():
+    d = {"a": {"b": 1, "c": {"d": 2}}, "e": 3}
+    flat = flatten_dict(d)
+    assert flat == {"a.b": 1, "a.c.d": 2, "e": 3}
+    assert unflatten_dict(flat) == d
+
+
+def test_build_variants_grid():
+    spec = {
+        "meta_data": {"algorithm": "sac"},
+        "variables": {"seed": [0, 1, 2], "sac_params": {"qf_lr": [1e-3, 3e-4]}},
+        "constants": {"net_size": 64, "sac_params": {"discount": 0.99}},
+    }
+    variants = build_variants(spec)
+    assert len(variants) == 6
+    assert {v["exp_id"] for v in variants} == set(range(6))
+    # constants merged, variables overlaid without clobbering siblings
+    for v in variants:
+        assert v["net_size"] == 64
+        assert v["sac_params"]["discount"] == 0.99
+        assert v["sac_params"]["qf_lr"] in (1e-3, 3e-4)
+    assert len({(v["seed"], v["sac_params"]["qf_lr"])
+                for v in variants}) == 6
+
+
+def test_no_variables_gives_single_variant():
+    spec = {"meta_data": {}, "constants": {"x": 1}}
+    variants = build_variants(spec)
+    assert len(variants) == 1 and variants[0]["x"] == 1
+
+
+def test_spec_format_validation():
+    with pytest.raises(ValueError):
+        check_exp_spec_format({"constants": {}})
+    with pytest.raises(ValueError):
+        check_exp_spec_format(
+            {"meta_data": {}, "variables": {"seed": 3}}
+        )
+    with pytest.raises(ValueError):
+        check_exp_spec_format({"meta_data": {}, "bogus": {}})
+
+
+def test_logger_csv_and_late_keys(tmp_path):
+    lg = Logger(str(tmp_path), print_to_console=False)
+    lg.record_tabular("a", 1.0)
+    lg.dump_tabular(0)
+    lg.record_tabular("a", 2.0)
+    lg.record_tabular("b", 3.0)  # late-appearing key
+    lg.dump_tabular(1)
+    with open(os.path.join(str(tmp_path), "progress.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 2
+    assert rows[1]["b"] == "3.0"
+    assert rows[0]["b"] == ""  # back-filled header
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from ilswiss_tpu.algorithms.sac import SAC, SACConfig
+    from ilswiss_tpu.runtime.checkpoint import (
+        restore_checkpoint, save_checkpoint,
+    )
+    sac = SAC(3, 1, SACConfig(), net_size=16, num_hidden_layers=1)
+    state = sac.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state)
+    template = sac.init(jax.random.PRNGKey(1))  # different values
+    restored = restore_checkpoint(path, template)
+    for a, b in zip(jax.tree.leaves(state.policy_params),
+                    jax.tree.leaves(restored.policy_params)):
+        np.testing.assert_allclose(a, b)
+
+
+@pytest.mark.slow
+def test_run_experiment_end_to_end(tmp_path):
+    """Tiny SAC spec through the full scheduler path."""
+    spec = {
+        "meta_data": {"algorithm": "sac", "exp_name": "t"},
+        "variables": {"seed": [0]},
+        "constants": {
+            "net_size": 32, "num_hidden_layers": 1,
+            "log_dir": str(tmp_path / "run"),
+            "print_to_console": False,
+            "rl_alg_params": {
+                "num_epochs": 2, "num_steps_per_epoch": 64,
+                "num_steps_between_train_calls": 8,
+                "num_train_steps_per_train_call": 8,
+                "max_path_length": 100,
+                "min_steps_before_training": 32,
+                "batch_size": 32, "replay_buffer_size": 1024,
+                "freq_saving": 1,
+            },
+            "sac_params": {"reward_scale": 2.0},
+            "env_specs": {"env_name": "pendulum", "env_num": 4},
+        },
+    }
+    from ilswiss_tpu.launchers.experiments import run_sac
+    from ilswiss_tpu.launchers.variant import build_variants
+    variants = build_variants(spec)
+    run_sac(variants[0])
+    csv_path = tmp_path / "run" / "progress.csv"
+    assert csv_path.exists()
+    with open(csv_path) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 2
+    assert "AverageReturn" in rows[0]
+    assert (tmp_path / "run" / "checkpoints").exists()
+    assert (tmp_path / "run" / "variant.json").exists()
