@@ -43,6 +43,10 @@ class TD3Config:
     target_policy_noise_clip: float = 0.5
     policy_and_target_update_period: int = 2
     exploration_noise: float = 0.1
+    # HER-TD3 clips targets into [-1/(1-gamma), 0] for sparse negative
+    # rewards (reference her/td3.py:79-86)
+    q_target_min: float = -jnp.inf
+    q_target_max: float = jnp.inf
 
 
 @struct.dataclass
@@ -126,9 +130,10 @@ class TD3:
             self.qf.apply(state.target_qf1_params, next_obs, target_actions),
             self.qf.apply(state.target_qf2_params, next_obs, target_actions),
         )
-        q_target = jax.lax.stop_gradient(
-            rewards + (1.0 - terminals) * cfg.discount * min_t_q
-        )
+        q_target = jax.lax.stop_gradient(jnp.clip(
+            rewards + (1.0 - terminals) * cfg.discount * min_t_q,
+            cfg.q_target_min, cfg.q_target_max,
+        ))
 
         def qf_loss_fn(params):
             return jnp.mean((self.qf.apply(params, obs, actions) - q_target) ** 2)

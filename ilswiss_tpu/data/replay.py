@@ -96,6 +96,41 @@ def replay_add(state: ReplayState, tr: Transition,
     )
 
 
+def replay_add_masked(state: ReplayState, rows: Dict[str, jnp.ndarray],
+                      mask: jnp.ndarray) -> ReplayState:
+    """Append only rows where mask is True, compacted at the cursor.
+
+    Used by MBPO's branched model rollouts, which drop terminated
+    branches (reference mbpo.py:254-259 shrinks the alive set; here the
+    masked full-width write of SURVEY.md §7.3.4): a stable argsort moves
+    alive rows to the front, they land contiguously at ptr, and the
+    remaining slots re-write their existing contents (no corruption),
+    with ptr/size advancing by the alive count only.
+    """
+    capacity = state.data["reward"].shape[0]
+    n_rows = mask.shape[0]
+    alive = mask.astype(jnp.int32)
+    n_alive = jnp.sum(alive)
+    order = jnp.argsort(1 - alive, stable=True)   # alive rows first
+    alive_sorted = alive[order].astype(bool)
+    slots = (state.ptr + jnp.arange(n_rows)) % capacity
+
+    data = dict(state.data)
+    for k, v in rows.items():
+        new_vals = v[order]
+        cur_vals = state.data[k][slots]
+        sel = alive_sorted.reshape((-1,) + (1,) * (v.ndim - 1))
+        data[k] = state.data[k].at[slots].set(
+            jnp.where(sel, new_vals, cur_vals)
+        )
+    return ReplayState(
+        data=data,
+        ep_id=state.ep_id,  # model rollouts carry no episode structure
+        ptr=(state.ptr + n_alive) % capacity,
+        size=jnp.minimum(state.size + n_alive, capacity),
+    )
+
+
 def replay_sample(state: ReplayState, key: jax.Array, batch_size: int
                   ) -> Dict[str, jnp.ndarray]:
     """Uniform gather over valid rows (reference `random_batch`,

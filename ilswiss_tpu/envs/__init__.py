@@ -28,6 +28,14 @@ register("cartpole", CartPole)
 register("mountain", MountainCarContinuous)
 
 
+def _register_goal():
+    from ilswiss_tpu.envs.goal import GoalReach2D
+    register("reach2d", GoalReach2D)
+
+
+_register_goal()
+
+
 def _register_control():
     # Registered lazily to keep import cheap; brax-style locomotion envs
     # (hopper/walker/halfcheetah/ant/humanoid) are added by the mjx module.
