@@ -39,18 +39,23 @@ def round_capacity(capacity: int, write_batch: int) -> int:
     return ((capacity + write_batch - 1) // write_batch) * write_batch
 
 
-def replay_init(capacity: int, obs_size: int, action_size: int,
+def replay_init(capacity: int, obs_size, action_size: int,
                 write_batch: int, discrete: bool = False,
                 obs_dtype=jnp.float32) -> ReplayState:
-    """Preallocate the ring (reference __init__ simple_replay_buffer.py:48-68)."""
+    """Preallocate the ring (reference __init__ simple_replay_buffer.py:48-68).
+
+    `obs_size` may be an int (vector obs) or a shape tuple (image obs —
+    stored at their native dtype, e.g. uint8, matching the reference's
+    uint8 image storage, simple_replay_buffer.py:26)."""
     capacity = round_capacity(capacity, write_batch)
+    obs_shape = (obs_size,) if isinstance(obs_size, int) else tuple(obs_size)
     action_shape = () if discrete else (action_size,)
     action_dtype = jnp.int32 if discrete else jnp.float32
     data = {
-        "obs": jnp.zeros((capacity, obs_size), obs_dtype),
+        "obs": jnp.zeros((capacity,) + obs_shape, obs_dtype),
         "action": jnp.zeros((capacity,) + action_shape, action_dtype),
         "reward": jnp.zeros((capacity,), jnp.float32),
-        "next_obs": jnp.zeros((capacity, obs_size), obs_dtype),
+        "next_obs": jnp.zeros((capacity,) + obs_shape, obs_dtype),
         "terminal": jnp.zeros((capacity,), jnp.float32),
     }
     return ReplayState(

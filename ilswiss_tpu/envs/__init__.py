@@ -33,7 +33,13 @@ def _register_goal():
     register("reach2d", GoalReach2D)
 
 
+def _register_pixels():
+    from ilswiss_tpu.envs.classic.pendulum_pixels import PendulumPixels
+    register("pendulum_pixels", PendulumPixels)
+
+
 _register_goal()
+_register_pixels()
 
 
 def _register_control():

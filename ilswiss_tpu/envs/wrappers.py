@@ -1,0 +1,101 @@
+"""Pure-function env wrappers.
+
+Rebuild of the reference wrapper zoo (rlkit/envs/wrappers.py) for the
+JAX env API.  Action rescaling (`NormalizedBoxEnv`, wrappers.py:275)
+is built into `Environment.scale_action`; the demo-statistics wrappers
+live here:
+
+  - `ScaledEnv` (wrappers.py:53): observations (and actions seen by the
+    agent) standardized by expert-demo mean/std — used when adversarial
+    IL trains on normalized demos (adv_irl_exp_script.py:86-113).
+  - `MinmaxEnv` (wrappers.py:143): observations mapped to [0, 1] by
+    demo min/max.
+
+Both wrap any `Environment` and stay jit/vmap-transparent.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ilswiss_tpu.envs.base import Environment
+
+
+class _DelegatingEnv(Environment):
+    def __init__(self, inner: Environment):
+        self.inner = inner
+        self.observation_size = inner.observation_size
+        self.action_size = inner.action_size
+        self.discrete = inner.discrete
+        self.max_episode_steps = inner.max_episode_steps
+        self.action_low = inner.action_low
+        self.action_high = inner.action_high
+
+
+class ScaledEnv(_DelegatingEnv):
+    """obs -> (obs - mean) / std; optional action standardization for
+    agents trained on scaled demo actions (reference ScaledEnv:
+    unscale incoming actions before the true step)."""
+
+    def __init__(self, inner: Environment,
+                 obs_mean=None, obs_std=None,
+                 acts_mean=None, acts_std=None):
+        super().__init__(inner)
+        self.obs_mean = None if obs_mean is None else jnp.asarray(obs_mean)
+        self.obs_std = None if obs_std is None else jnp.asarray(obs_std)
+        self.acts_mean = (
+            None if acts_mean is None else jnp.asarray(acts_mean))
+        self.acts_std = None if acts_std is None else jnp.asarray(acts_std)
+
+    def _scale_obs(self, obs):
+        if self.obs_mean is None:
+            return obs
+        return (obs - self.obs_mean) / (self.obs_std + 1e-8)
+
+    def _unscale_action(self, action):
+        if self.acts_mean is None:
+            return action
+        return action * (self.acts_std + 1e-8) + self.acts_mean
+
+    def reset(self, key):
+        state = self.inner.reset(key)
+        return state.replace(obs=self._scale_obs(state.obs))
+
+    def step(self, state, action):
+        out = self.inner.step(state, self._unscale_action(action))
+        return out.replace(
+            state=out.state.replace(obs=self._scale_obs(out.state.obs)),
+            obs=self._scale_obs(out.obs),
+        )
+
+    def scale_action(self, normalized):
+        return self.inner.scale_action(normalized)
+
+
+class MinmaxEnv(_DelegatingEnv):
+    """obs -> (obs - min) / (max - min)  (reference MinmaxEnv:143)."""
+
+    def __init__(self, inner: Environment, obs_min, obs_max):
+        super().__init__(inner)
+        self.obs_min = jnp.asarray(obs_min)
+        self.obs_max = jnp.asarray(obs_max)
+
+    def _scale_obs(self, obs):
+        return (obs - self.obs_min) / (self.obs_max - self.obs_min + 1e-8)
+
+    def reset(self, key):
+        state = self.inner.reset(key)
+        return state.replace(obs=self._scale_obs(state.obs))
+
+    def step(self, state, action):
+        out = self.inner.step(state, action)
+        return out.replace(
+            state=out.state.replace(obs=self._scale_obs(out.state.obs)),
+            obs=self._scale_obs(out.obs),
+        )
+
+    def scale_action(self, normalized):
+        return self.inner.scale_action(normalized)

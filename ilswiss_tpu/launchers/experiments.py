@@ -33,6 +33,69 @@ def _alg(variant: Dict, key: str) -> Dict:
     return dict(variant.get(key) or {})
 
 
+def _is_host_env(env_name: str) -> bool:
+    from ilswiss_tpu.envs import ENV_REGISTRY
+    from ilswiss_tpu.envs.host_mujoco import GYM_ENV_IDS
+    return env_name not in ENV_REGISTRY and (
+        env_name in GYM_ENV_IDS or "-v" in env_name
+    )
+
+
+def _run_host_off_policy(algo, variant: Dict, rl: Dict, logger: Logger,
+                         seed: int, env_name: str, env_kwargs: Dict,
+                         num_envs: int):
+    """MuJoCo-family path: host actor + TPU learner
+    (runtime/host_loop.py)."""
+    from ilswiss_tpu.envs.host_mujoco import GymVectorEnv
+    from ilswiss_tpu.runtime.host_loop import (
+        HostLoopConfig, HostOffPolicyLoop,
+    )
+
+    env_kwargs = dict(env_kwargs)
+    max_path_length = env_kwargs.pop("max_episode_steps", None)
+    env = GymVectorEnv(env_name, num_envs=num_envs, seed=seed,
+                       max_episode_steps=max_path_length,
+                       env_kwargs=env_kwargs)
+    loop = HostOffPolicyLoop(env, algo, HostLoopConfig(
+        batch_size=int(rl.get("batch_size", 256)),
+        replay_capacity=int(rl.get("replay_buffer_size", 1_000_000)),
+        steps_between_train_calls=int(
+            rl.get("num_steps_between_train_calls", 1000)),
+        train_steps_per_call=int(
+            rl.get("num_train_steps_per_train_call", 1000)),
+        min_steps_before_training=int(
+            rl.get("min_steps_before_training", 1000)),
+    ))
+    steps_per_epoch = int(rl.get("num_steps_per_epoch", 10_000))
+    num_epochs = int(rl.get("num_epochs", 100))
+    num_eval_episodes = max(
+        1, int(rl.get("num_steps_per_eval", 10_000))
+        // int(rl.get("max_path_length", 1000)))
+    snap = SnapshotManager(
+        logger.log_dir, gap=int(rl.get("freq_saving", 10)),
+        save_best=bool(rl.get("save_best", True)))
+
+    runner = loop.init(seed=seed)
+    runner = loop.warmup(runner)
+    for epoch in range(num_epochs):
+        t0 = time.time()
+        runner, metrics = loop.train_epoch(runner, steps_per_epoch)
+        train_time = time.time() - t0
+        eval_stats = loop.evaluate(
+            runner, num_eval_episodes, seed=seed + epoch + 1)
+        logger.record_dict(metrics, prefix="trainer/")
+        logger.record_dict(eval_stats)
+        logger.record_tabular("TotalEnvSteps", runner.total_env_steps)
+        logger.record_tabular("TrainTime", train_time)
+        logger.record_tabular("EnvStepsPerSec",
+                              steps_per_epoch / max(train_time, 1e-9))
+        logger.dump_tabular(epoch)
+        snap.on_epoch(epoch, runner, eval_stats)
+    env.close()
+    logger.close()
+    return runner
+
+
 def _setup(variant: Dict, default_exp_name: str):
     seed = int(variant.get("seed", 0))
     env_specs = _alg(variant, "env_specs")
@@ -55,6 +118,16 @@ def _setup(variant: Dict, default_exp_name: str):
     )
     logger.save_variant(variant)
     return seed, env_name, env_kwargs, num_envs, rl, logger
+
+
+def _host_env_sizes(env_name: str, env_kwargs: Dict) -> tuple[int, int]:
+    from ilswiss_tpu.envs.host_mujoco import GymVectorEnv
+    kw = dict(env_kwargs)
+    kw.pop("max_episode_steps", None)
+    probe = GymVectorEnv(env_name, num_envs=1, env_kwargs=kw)
+    sizes = (probe.observation_size, probe.action_size)
+    probe.close()
+    return sizes
 
 
 def _grad_steps_per_iter(rl: Dict, num_envs: int) -> int:
@@ -132,11 +205,17 @@ def run_sac(variant: Dict[str, Any]):
     from ilswiss_tpu.algorithms.sac import SAC, SACConfig
 
     seed, env_name, env_kwargs, num_envs, rl, logger = _setup(variant, "sac")
-    vec = make_vec(env_name, num_envs=num_envs, **env_kwargs)
+    host = _is_host_env(env_name)
+    if host:
+        obs_size, action_size = _host_env_sizes(env_name, env_kwargs)
+    else:
+        vec = make_vec(env_name, num_envs=num_envs, **env_kwargs)
+        obs_size = vec.env.observation_size
+        action_size = vec.env.action_size
     p = _alg(variant, "sac_params")
     algo = SAC(
-        obs_size=vec.env.observation_size,
-        action_size=vec.env.action_size,
+        obs_size=obs_size,
+        action_size=action_size,
         config=SACConfig(
             discount=float(p.get("discount", 0.99)),
             reward_scale=float(p.get("reward_scale", 1.0)),
@@ -153,6 +232,10 @@ def run_sac(variant: Dict[str, Any]):
         net_size=int(variant.get("net_size", 256)),
         num_hidden_layers=int(variant.get("num_hidden_layers", 2)),
     )
+    if host:
+        return _run_host_off_policy(
+            algo, variant, rl, logger, seed, env_name, env_kwargs,
+            num_envs)
     return _run_off_policy(algo, vec, rl, logger, seed)
 
 
@@ -185,11 +268,17 @@ def run_td3(variant: Dict[str, Any]):
     from ilswiss_tpu.algorithms.td3 import TD3, TD3Config
 
     seed, env_name, env_kwargs, num_envs, rl, logger = _setup(variant, "td3")
-    vec = make_vec(env_name, num_envs=num_envs, **env_kwargs)
+    host = _is_host_env(env_name)
+    if host:
+        obs_size, action_size = _host_env_sizes(env_name, env_kwargs)
+    else:
+        vec = make_vec(env_name, num_envs=num_envs, **env_kwargs)
+        obs_size = vec.env.observation_size
+        action_size = vec.env.action_size
     p = _alg(variant, "td3_params")
     algo = TD3(
-        obs_size=vec.env.observation_size,
-        action_size=vec.env.action_size,
+        obs_size=obs_size,
+        action_size=action_size,
         config=TD3Config(
             discount=float(p.get("discount", 0.99)),
             reward_scale=float(p.get("reward_scale", 1.0)),
@@ -206,6 +295,10 @@ def run_td3(variant: Dict[str, Any]):
         net_size=int(variant.get("net_size", 256)),
         num_hidden_layers=int(variant.get("num_hidden_layers", 2)),
     )
+    if host:
+        return _run_host_off_policy(
+            algo, variant, rl, logger, seed, env_name, env_kwargs,
+            num_envs)
     return _run_off_policy(algo, vec, rl, logger, seed)
 
 
@@ -447,6 +540,111 @@ def run_adv_irl(variant: Dict[str, Any]):
     return _run_off_policy(algo, vec, rl, logger, seed)
 
 
+def run_sac_ae(variant: Dict[str, Any]):
+    """Visual SAC-AE/RAD/CURL on pixel envs (reference
+    run_scripts/sac_alpha_visual_exp_script.py)."""
+    from functools import partial
+
+    from ilswiss_tpu.algorithms.sac_ae import SACAE, SACAEConfig
+    from ilswiss_tpu.data.aug_replay import augmented_sample
+    from ilswiss_tpu.data.augmentations import center_crop
+
+    seed, env_name, env_kwargs, num_envs, rl, logger = _setup(
+        variant, "sac_ae")
+    vec = make_vec(env_name, num_envs=num_envs, **env_kwargs)
+    img_size = vec.env.observation_size[0]
+    p = _alg(variant, "sac_params")
+    augs = tuple(variant.get("augs") or ())
+    crop_size = int(variant.get("crop_size", img_size))
+    use_cpc = int(p.get("cpc_update_freq", 0)) > 0
+
+    algo = SACAE(
+        action_size=vec.env.action_size,
+        config=SACAEConfig(
+            image_size=crop_size if augs else img_size,
+            frame_channels=vec.env.observation_size[-1],
+            feature_dim=int(variant.get("feature_dim", 50)),
+            num_conv_layers=int(variant.get("num_conv_layers", 4)),
+            num_filters=int(variant.get("num_filters", 32)),
+            discount=float(p.get("discount", 0.99)),
+            reward_scale=float(p.get("reward_scale", 1.0)),
+            policy_lr=float(p.get("policy_lr", 1e-3)),
+            qf_lr=float(p.get("qf_lr", 1e-3)),
+            encdec_lr=float(p.get("encdec_lr", 1e-3)),
+            init_alpha=float(p.get("alpha", 0.1)),
+            soft_target_tau=float(p.get("soft_target_tau", 0.01)),
+            enc_soft_target_tau=float(
+                p.get("enc_soft_target_tau", 0.05)),
+            ac_update_freq=int(p.get("ac_update_freq", 2)),
+            encdec_update_freq=int(p.get("encdec_update_freq", 1)),
+            cpc_update_freq=int(p.get("cpc_update_freq", 0)),
+            target_update_freq=int(p.get("target_update_freq", 2)),
+        ),
+        net_size=int(variant.get("net_size", 256)),
+        num_hidden_layers=int(variant.get("num_hidden_layers", 2)),
+    )
+    sample_fn = None
+    loop_algo = algo
+    if augs:
+        sample_fn = partial(augmented_sample, augs=augs,
+                            out_size=crop_size, cpc=use_cpc)
+
+        class _CropActing:
+            """Acting sees center-cropped frames (the encoder is sized
+            for the augmented crop, reference eval-time center crop)."""
+            init = staticmethod(algo.init)
+            train_step = staticmethod(algo.train_step)
+
+            @staticmethod
+            def act(s, o, k, deterministic=False):
+                return algo.act(s, center_crop(o, crop_size), k,
+                                deterministic=deterministic)
+
+        loop_algo = _CropActing()
+
+    loop = OffPolicyLoop(
+        vec, loop_algo,
+        OffPolicyConfig(
+            batch_size=int(rl.get("batch_size", 128)),
+            replay_capacity=int(rl.get("replay_buffer_size", 100_000)),
+            min_steps_before_training=int(
+                rl.get("min_steps_before_training", 1000)),
+            grad_steps_per_iter=_grad_steps_per_iter(rl, num_envs),
+        ),
+        sample_fn=sample_fn,
+    )
+
+    def eval_act(s, o, k):
+        if augs:
+            o = center_crop(o, crop_size)
+        return algo.act(s, o, k, deterministic=True)
+
+    steps_per_epoch = int(rl.get("num_steps_per_epoch", 10_000))
+    num_epochs = int(rl.get("num_epochs", 100))
+    warmup, train_epoch = loop.build(steps_per_epoch)
+    evaluator = make_evaluator(
+        vec, eval_act, int(rl.get("max_path_length", 200)))
+    snap = SnapshotManager(logger.log_dir,
+                           gap=int(rl.get("freq_saving", 10)))
+    runner = loop.init(jax.random.PRNGKey(seed))
+    runner = warmup(runner)
+    for epoch in range(num_epochs):
+        t0 = time.time()
+        runner, metrics = train_epoch(runner)
+        metrics = jax.device_get(metrics)
+        eval_stats = jax.device_get(
+            evaluator(runner.algo_state,
+                      jax.random.PRNGKey(seed + epoch + 1)))
+        logger.record_dict({k: float(v) for k, v in metrics.items()},
+                           prefix="trainer/")
+        logger.record_dict({k: float(v) for k, v in eval_stats.items()})
+        logger.record_tabular("TrainTime", time.time() - t0)
+        logger.dump_tabular(epoch)
+        snap.on_epoch(epoch, runner, eval_stats)
+    logger.close()
+    return runner
+
+
 EXPERIMENTS: Dict[str, Callable] = {
     "sac": run_sac,
     "sac_v": run_sac_v,
@@ -458,4 +656,7 @@ EXPERIMENTS: Dict[str, Callable] = {
     "bc": run_bc,
     "adv_irl": run_adv_irl,
     "gail": run_adv_irl,
+    "sac_ae": run_sac_ae,
+    "sac_rad": run_sac_ae,
+    "sac_curl": run_sac_ae,
 }

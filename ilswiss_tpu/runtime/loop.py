@@ -58,10 +58,14 @@ class OffPolicyLoop:
     (SAC / TD3 / DDPG / discrete-SAC / DQN all fit; the reference
     equivalent is TorchRLAlgorithm + BaseAlgorithm.)"""
 
-    def __init__(self, vec_env: VectorEnv, algo, config: OffPolicyConfig):
+    def __init__(self, vec_env: VectorEnv, algo, config: OffPolicyConfig,
+                 sample_fn: Callable | None = None):
         self.vec_env = vec_env
         self.algo = algo
         self.config = config
+        # pluggable batch sampler (RAD/CURL augmented sampling — the
+        # reference's AugmentCPCImageEnvReplayBuffer — plugs in here)
+        self.sample_fn = sample_fn or replay_sample
         self.grad_steps_per_iter = (
             config.grad_steps_per_iter
             if config.grad_steps_per_iter is not None
@@ -142,7 +146,7 @@ class OffPolicyLoop:
         def one_grad_step(carry, key):
             algo_state, replay = carry
             k_samp, k_train = jax.random.split(key)
-            batch = replay_sample(replay, k_samp, self.config.batch_size)
+            batch = self.sample_fn(replay, k_samp, self.config.batch_size)
             algo_state, metrics = self.algo.train_step(
                 algo_state, batch, k_train
             )
