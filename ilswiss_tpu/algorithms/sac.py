@@ -6,6 +6,12 @@ pure function `(SACState, batch, key) -> (SACState, metrics)` that jits
 into a single fused XLA program; target updates are `tree_map` Polyak
 lerps instead of in-place copies.
 
+The two critics live STACKED on a leading ensemble axis (params [2,...],
+applied via vmap), so every twin-Q forward/backward is one batched
+matmul chain instead of two — mathematically identical to the
+reference's separate critics (Adam and Polyak are elementwise, and the
+critics only interact through min()), at half the kernel launches.
+
 Formula parity with the reference (sac_alpha.py:78-187):
   - Q target: r * reward_scale + (1 - terminal) * gamma *
               (min(Q1bar, Q2bar)(s', a') - alpha * log pi(a'|s'))
@@ -55,14 +61,11 @@ class SACConfig:
 @struct.dataclass
 class SACState:
     policy_params: Any
-    qf1_params: Any
-    qf2_params: Any
-    target_qf1_params: Any
-    target_qf2_params: Any
+    qf_params: Any          # stacked twin critics, leaves [2, ...]
+    target_qf_params: Any   # stacked
     log_alpha: jnp.ndarray
     policy_opt: Any
-    qf1_opt: Any
-    qf2_opt: Any
+    qf_opt: Any
     alpha_opt: Any
 
 
@@ -95,25 +98,30 @@ class SAC:
         self.qf_tx = adam(config.qf_lr)
         self.alpha_tx = adam(config.alpha_lr)
 
+    # --- stacked-critic helpers ---------------------------------------
+    def q_apply(self, stacked_params, obs, actions) -> jnp.ndarray:
+        """[2, B, 1] Q values from the stacked critic pair."""
+        return jax.vmap(self.qf.apply, in_axes=(0, None, None))(
+            stacked_params, obs, actions
+        )
+
     # ------------------------------------------------------------------
     def init(self, key: jax.Array) -> SACState:
-        kp, kq1, kq2 = jax.random.split(key, 3)
+        kp, kq = jax.random.split(key)
         obs = jnp.zeros((1, self.obs_size))
         act = jnp.zeros((1, self.action_size))
         policy_params = self.policy.init(kp, obs)
-        qf1_params = self.qf.init(kq1, obs, act)
-        qf2_params = self.qf.init(kq2, obs, act)
+        qf_params = jax.vmap(
+            lambda k: self.qf.init(k, obs, act)
+        )(jax.random.split(kq, 2))
         log_alpha = jnp.asarray(jnp.log(self.config.init_alpha), jnp.float32)
         return SACState(
             policy_params=policy_params,
-            qf1_params=qf1_params,
-            qf2_params=qf2_params,
-            target_qf1_params=copy_params(qf1_params),
-            target_qf2_params=copy_params(qf2_params),
+            qf_params=qf_params,
+            target_qf_params=copy_params(qf_params),
             log_alpha=log_alpha,
             policy_opt=self.policy_tx.init(policy_params),
-            qf1_opt=self.qf_tx.init(qf1_params),
-            qf2_opt=self.qf_tx.init(qf2_params),
+            qf_opt=self.qf_tx.init(qf_params),
             alpha_opt=self.alpha_tx.init(log_alpha),
         )
 
@@ -125,6 +133,9 @@ class SAC:
             return jnp.tanh(mean)
         action, _ = D.tanh_normal_sample(key, mean, log_std)
         return action
+
+    def _pmean(self, g):
+        return g if self.axis_name is None else jax.lax.pmean(g, self.axis_name)
 
     # --- learning -----------------------------------------------------
     def train_step(self, state: SACState, batch: Dict[str, jnp.ndarray],
@@ -149,38 +160,35 @@ class SAC:
         next_log_pi = D.tanh_normal_log_prob(
             next_mean, next_log_std, next_actions, next_pre
         )
-        t_q1 = self.qf.apply(state.target_qf1_params, next_obs, next_actions)
-        t_q2 = self.qf.apply(state.target_qf2_params, next_obs, next_actions)
-        min_t_q = jnp.minimum(t_q1, t_q2)
+        t_q = self.q_apply(state.target_qf_params, next_obs, next_actions)
+        min_t_q = jnp.min(t_q, axis=0)
         q_target = jax.lax.stop_gradient(
             rewards
             + (1.0 - terminals) * cfg.discount * (min_t_q - alpha * next_log_pi)
         )
 
         def qf_loss_fn(qf_params):
-            q_pred = self.qf.apply(qf_params, obs, actions)
-            return 0.5 * jnp.mean((q_pred - q_target) ** 2), q_pred
+            q_pred = self.q_apply(qf_params, obs, actions)  # [2, B, 1]
+            per_critic = 0.5 * jnp.mean(
+                (q_pred - q_target[None]) ** 2, axis=(1, 2)
+            )
+            # sum of independent per-critic losses: grads identical to
+            # optimizing each critic with its own 0.5*MSE
+            return jnp.sum(per_critic), (per_critic, q_pred)
 
-        (qf1_loss, q1_pred), g1 = jax.value_and_grad(
-            qf_loss_fn, has_aux=True)(state.qf1_params)
-        (qf2_loss, q2_pred), g2 = jax.value_and_grad(
-            qf_loss_fn, has_aux=True)(state.qf2_params)
-        if self.axis_name is not None:
-            g1 = jax.lax.pmean(g1, self.axis_name)
-            g2 = jax.lax.pmean(g2, self.axis_name)
-        up1, qf1_opt = self.qf_tx.update(g1, state.qf1_opt, state.qf1_params)
-        up2, qf2_opt = self.qf_tx.update(g2, state.qf2_opt, state.qf2_params)
-        qf1_params = optax.apply_updates(state.qf1_params, up1)
-        qf2_params = optax.apply_updates(state.qf2_params, up2)
+        (_, (qf_losses, q_pred)), gq = jax.value_and_grad(
+            qf_loss_fn, has_aux=True)(state.qf_params)
+        gq = self._pmean(gq)
+        upq, qf_opt = self.qf_tx.update(gq, state.qf_opt, state.qf_params)
+        qf_params = optax.apply_updates(state.qf_params, upq)
 
         # --- policy update against updated critics (:142-155) ---------
         def policy_loss_fn(policy_params):
             mean, log_std = self.policy.apply(policy_params, obs)
             new_actions, pre = D.tanh_normal_sample(k_new, mean, log_std)
             log_pi = D.tanh_normal_log_prob(mean, log_std, new_actions, pre)
-            q_new = jnp.minimum(
-                self.qf.apply(qf1_params, obs, new_actions),
-                self.qf.apply(qf2_params, obs, new_actions),
+            q_new = jnp.min(
+                self.q_apply(qf_params, obs, new_actions), axis=0
             )
             loss = jnp.mean(alpha * log_pi - q_new)
             reg = (
@@ -191,8 +199,7 @@ class SAC:
 
         (policy_loss, log_pi), gp = jax.value_and_grad(
             policy_loss_fn, has_aux=True)(state.policy_params)
-        if self.axis_name is not None:
-            gp = jax.lax.pmean(gp, self.axis_name)
+        gp = self._pmean(gp)
         upp, policy_opt = self.policy_tx.update(
             gp, state.policy_opt, state.policy_params
         )
@@ -204,8 +211,7 @@ class SAC:
             return -jnp.mean(log_alpha * target)
 
         alpha_loss, ga = jax.value_and_grad(alpha_loss_fn)(state.log_alpha)
-        if self.axis_name is not None:
-            ga = jax.lax.pmean(ga, self.axis_name)
+        ga = self._pmean(ga)
         if cfg.train_alpha:
             upa, alpha_opt = self.alpha_tx.update(
                 ga, state.alpha_opt, state.log_alpha
@@ -216,33 +222,27 @@ class SAC:
             log_alpha = state.log_alpha
 
         # --- target Polyak (:245-247) ---------------------------------
-        target_qf1 = soft_update(
-            state.target_qf1_params, qf1_params, cfg.soft_target_tau
-        )
-        target_qf2 = soft_update(
-            state.target_qf2_params, qf2_params, cfg.soft_target_tau
+        target_qf = soft_update(
+            state.target_qf_params, qf_params, cfg.soft_target_tau
         )
 
         metrics = {
-            "qf1_loss": qf1_loss,
-            "qf2_loss": qf2_loss,
+            "qf1_loss": qf_losses[0],
+            "qf2_loss": qf_losses[1],
             "policy_loss": policy_loss,
             "alpha_loss": alpha_loss,
             "alpha": alpha,
-            "q1_pred_mean": jnp.mean(q1_pred),
-            "q2_pred_mean": jnp.mean(q2_pred),
+            "q1_pred_mean": jnp.mean(q_pred[0]),
+            "q2_pred_mean": jnp.mean(q_pred[1]),
             "log_pi_mean": jnp.mean(log_pi),
         }
         new_state = SACState(
             policy_params=policy_params,
-            qf1_params=qf1_params,
-            qf2_params=qf2_params,
-            target_qf1_params=target_qf1,
-            target_qf2_params=target_qf2,
+            qf_params=qf_params,
+            target_qf_params=target_qf,
             log_alpha=log_alpha,
             policy_opt=policy_opt,
-            qf1_opt=qf1_opt,
-            qf2_opt=qf2_opt,
+            qf_opt=qf_opt,
             alpha_opt=alpha_opt,
         )
         return new_state, metrics

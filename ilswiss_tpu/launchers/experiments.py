@@ -120,6 +120,26 @@ def _setup(variant: Dict, default_exp_name: str):
     return seed, env_name, env_kwargs, num_envs, rl, logger
 
 
+def _resolve_demo_path(variant: Dict) -> str:
+    """demo_path directly, or expert_name looked up in
+    demos_listing.yaml (the reference's indirection,
+    adv_irl_exp_script.py:31-34 + demos_listing.yaml)."""
+    if variant.get("demo_path"):
+        return variant["demo_path"]
+    name = variant.get("expert_name")
+    if not name:
+        raise KeyError("variant needs 'demo_path' or 'expert_name'")
+    import yaml
+    listing_path = variant.get("demos_listing", "demos_listing.yaml")
+    with open(listing_path) as f:
+        listing = yaml.safe_load(f)
+    if name not in listing:
+        raise KeyError(
+            f"expert '{name}' not in {listing_path}; "
+            f"known: {sorted(listing)}")
+    return listing[name]["file_path"]
+
+
 def _host_env_sizes(env_name: str, env_kwargs: Dict) -> tuple[int, int]:
     from ilswiss_tpu.envs.host_mujoco import GymVectorEnv
     kw = dict(env_kwargs)
@@ -441,7 +461,7 @@ def run_bc(variant: Dict[str, Any]):
     seed, env_name, env_kwargs, num_envs, rl, logger = _setup(variant, "bc")
     vec = make_vec(env_name, num_envs=max(num_envs, 8), **env_kwargs)
     p = _alg(variant, "bc_params")
-    demos = load_demos_npz(variant["demo_path"])
+    demos = load_demos_npz(_resolve_demo_path(variant))
     if variant.get("traj_num"):
         demos = subsample_trajs(demos, int(variant["traj_num"]))
     algo = BC(
@@ -490,7 +510,7 @@ def run_adv_irl(variant: Dict[str, Any]):
     seed, env_name, env_kwargs, num_envs, rl, logger = _setup(
         variant, "adv_irl")
     vec = make_vec(env_name, num_envs=num_envs, **env_kwargs)
-    demos = load_demos_npz(variant["demo_path"])
+    demos = load_demos_npz(_resolve_demo_path(variant))
     if variant.get("traj_num"):
         demos = subsample_trajs(demos, int(variant["traj_num"]))
 
@@ -645,6 +665,205 @@ def run_sac_ae(variant: Dict[str, Any]):
     return runner
 
 
+def run_her(variant: Dict[str, Any]):
+    """HER over SAC or TD3 on goal envs (reference run_scripts/
+    her_*_exp_script.py; her/her.py swaps in the relabel buffer)."""
+    from ilswiss_tpu.algorithms.her import HER, HERLoop, HERLoopConfig
+
+    seed, env_name, env_kwargs, num_envs, rl, logger = _setup(
+        variant, "her")
+    vec = make_vec(env_name, num_envs=num_envs, **env_kwargs)
+    env = vec.env
+    inner_name = str(variant.get("inner_algo", "sac"))
+    obs_size = env.observation_size + env.goal_size
+    if inner_name == "td3":
+        from ilswiss_tpu.algorithms.td3 import TD3, TD3Config
+        p = _alg(variant, "td3_params")
+        discount = float(p.get("discount", 0.98))
+        inner = TD3(
+            obs_size, env.action_size,
+            TD3Config(
+                discount=discount,
+                # reference her/td3.py:79-86 target clip
+                q_target_min=-1.0 / (1.0 - discount),
+                q_target_max=0.0,
+                exploration_noise=float(p.get("exploration_noise", 0.1)),
+            ),
+            net_size=int(variant.get("net_size", 256)),
+            num_hidden_layers=int(variant.get("num_hidden_layers", 2)),
+        )
+    else:
+        from ilswiss_tpu.algorithms.sac import SAC, SACConfig
+        p = _alg(variant, "sac_params")
+        inner = SAC(
+            obs_size, env.action_size,
+            SACConfig(
+                discount=float(p.get("discount", 0.98)),
+                reward_scale=float(p.get("reward_scale", 1.0)),
+            ),
+            net_size=int(variant.get("net_size", 256)),
+            num_hidden_layers=int(variant.get("num_hidden_layers", 2)),
+        )
+    her = HER(inner)
+    hp = _alg(variant, "her_params")
+    loop = HERLoop(
+        vec, her,
+        HERLoopConfig(
+            batch_size=int(rl.get("batch_size", 256)),
+            num_episode_slots=int(hp.get("num_episode_slots", 1024)),
+            grad_steps_per_iter=_grad_steps_per_iter(rl, num_envs),
+        ),
+        relabel_type=str(hp.get("relabel_type", "future")),
+        her_ratio=float(hp.get("her_ratio", 0.8)),
+    )
+    steps_per_epoch = int(rl.get("num_steps_per_epoch", 4000))
+    num_epochs = int(rl.get("num_epochs", 50))
+    warmup, train_epoch = loop.build(steps_per_epoch)
+    evaluator = make_evaluator(
+        vec, lambda s, o, k: her.act(s, o, k, deterministic=True),
+        env.max_episode_steps,
+    )
+    snap = SnapshotManager(logger.log_dir,
+                           gap=int(rl.get("freq_saving", 10)))
+    runner = warmup(loop.init(jax.random.PRNGKey(seed)))
+    for epoch in range(num_epochs):
+        t0 = time.time()
+        runner, metrics = train_epoch(runner)
+        eval_stats = jax.device_get(
+            evaluator(runner.algo_state,
+                      jax.random.PRNGKey(seed + epoch + 1)))
+        logger.record_dict(
+            {k: float(v) for k, v in jax.device_get(metrics).items()},
+            prefix="trainer/")
+        logger.record_dict({k: float(v) for k, v in eval_stats.items()})
+        logger.record_tabular("TrainTime", time.time() - t0)
+        logger.dump_tabular(epoch)
+        snap.on_epoch(epoch, runner, eval_stats)
+    logger.close()
+    return runner
+
+
+def run_gcsl(variant: Dict[str, Any]):
+    from ilswiss_tpu.algorithms.gcsl import GCSL, GCSLConfig, GCSLLoop
+    from ilswiss_tpu.algorithms.her import HERLoopConfig
+
+    seed, env_name, env_kwargs, num_envs, rl, logger = _setup(
+        variant, "gcsl")
+    vec = make_vec(env_name, num_envs=num_envs, **env_kwargs)
+    env = vec.env
+    p = _alg(variant, "gcsl_params")
+    gcsl = GCSL(
+        env.observation_size, env.goal_size, env.action_size,
+        GCSLConfig(
+            mode=str(p.get("mode", "MSE")),
+            lr=float(p.get("lr", 1e-3)),
+            use_horizons=bool(p.get("use_horizons", True)),
+            max_horizon=env.max_episode_steps,
+        ),
+        net_size=int(variant.get("net_size", 256)),
+        num_hidden_layers=int(variant.get("num_hidden_layers", 2)),
+    )
+    loop = GCSLLoop(vec, gcsl, HERLoopConfig(
+        batch_size=int(rl.get("batch_size", 256)),
+        num_episode_slots=int(p.get("num_episode_slots", 1024)),
+        grad_steps_per_iter=_grad_steps_per_iter(rl, num_envs),
+    ))
+    steps_per_epoch = int(rl.get("num_steps_per_epoch", 4000))
+    num_epochs = int(rl.get("num_epochs", 50))
+    warmup, train_epoch = loop.build(steps_per_epoch)
+    evaluator = make_evaluator(
+        vec, lambda s, o, k: gcsl.act(s, o, k, deterministic=True),
+        env.max_episode_steps,
+    )
+    snap = SnapshotManager(logger.log_dir,
+                           gap=int(rl.get("freq_saving", 10)))
+    runner = warmup(loop.init(jax.random.PRNGKey(seed)))
+    for epoch in range(num_epochs):
+        runner, metrics = train_epoch(runner)
+        eval_stats = jax.device_get(
+            evaluator(runner.algo_state,
+                      jax.random.PRNGKey(seed + epoch + 1)))
+        logger.record_dict(
+            {k: float(v) for k, v in jax.device_get(metrics).items()},
+            prefix="trainer/")
+        logger.record_dict({k: float(v) for k, v in eval_stats.items()})
+        logger.dump_tabular(epoch)
+        snap.on_epoch(epoch, runner, eval_stats)
+    logger.close()
+    return runner
+
+
+def run_mbpo(variant: Dict[str, Any]):
+    from ilswiss_tpu.algorithms.bnn_trainer import BNNTrainerConfig
+    from ilswiss_tpu.algorithms.mbpo import MBPO, MBPOConfig
+    from ilswiss_tpu.algorithms.sac import SAC, SACConfig
+    from ilswiss_tpu.envs.terminals import get_terminal_func
+
+    seed, env_name, env_kwargs, num_envs, rl, logger = _setup(
+        variant, "mbpo")
+    vec = make_vec(env_name, num_envs=num_envs, **env_kwargs)
+    sp = _alg(variant, "sac_params")
+    sac = SAC(
+        vec.env.observation_size, vec.env.action_size,
+        SACConfig(
+            discount=float(sp.get("discount", 0.99)),
+            reward_scale=float(sp.get("reward_scale", 1.0)),
+        ),
+        net_size=int(variant.get("net_size", 256)),
+        num_hidden_layers=int(variant.get("num_hidden_layers", 2)),
+    )
+    mp = _alg(variant, "mbpo_params")
+    bp = _alg(variant, "bnn_params")
+    mbpo = MBPO(
+        vec, sac, get_terminal_func(env_name),
+        MBPOConfig(
+            model_train_freq=int(mp.get("model_train_freq", 250)),
+            rollout_batch_size=int(mp.get("rollout_batch_size", 100_000)),
+            real_ratio=float(mp.get("real_ratio", 0.1)),
+            rollout_schedule=tuple(
+                mp.get("rollout_schedule", (20, 100, 1, 1))),
+            batch_size=int(rl.get("batch_size", 256)),
+            grad_steps_per_iter=_grad_steps_per_iter(rl, num_envs),
+            replay_capacity=int(rl.get("replay_buffer_size", 1_000_000)),
+            min_steps_before_training=int(
+                rl.get("min_steps_before_training", 5000)),
+            max_path_length=int(rl.get("max_path_length", 1000)),
+        ),
+        BNNTrainerConfig(
+            num_nets=int(bp.get("num_nets", 7)),
+            num_elites=int(bp.get("num_elites", 5)),
+            hidden_sizes=tuple(bp.get("hidden_sizes", (200,) * 4)),
+            batch_size=int(bp.get("batch_size", 256)),
+            max_epochs=bp.get("max_epochs"),
+            holdout_ratio=float(bp.get("holdout_ratio", 0.2)),
+        ),
+    )
+    steps_per_epoch = int(rl.get("num_steps_per_epoch", 1000))
+    num_epochs = int(rl.get("num_epochs", 100))
+    evaluator = make_evaluator(
+        vec, lambda s, o, k: sac.act(s, o, k, deterministic=True),
+        int(rl.get("max_path_length", 1000)),
+    )
+    snap = SnapshotManager(logger.log_dir,
+                           gap=int(rl.get("freq_saving", 10)))
+    runner = mbpo.init(jax.random.PRNGKey(seed))
+    runner = mbpo.warmup(runner)
+    for epoch in range(num_epochs):
+        t0 = time.time()
+        runner, metrics = mbpo.train_epoch(
+            runner, epoch, steps_per_epoch, log=logger.log)
+        eval_stats = jax.device_get(
+            evaluator(runner.algo_state,
+                      jax.random.PRNGKey(seed + epoch + 1)))
+        logger.record_dict(metrics, prefix="trainer/")
+        logger.record_dict({k: float(v) for k, v in eval_stats.items()})
+        logger.record_tabular("TrainTime", time.time() - t0)
+        logger.dump_tabular(epoch)
+        snap.on_epoch(epoch, runner, eval_stats)
+    logger.close()
+    return runner
+
+
 EXPERIMENTS: Dict[str, Callable] = {
     "sac": run_sac,
     "sac_v": run_sac_v,
@@ -659,4 +878,7 @@ EXPERIMENTS: Dict[str, Callable] = {
     "sac_ae": run_sac_ae,
     "sac_rad": run_sac_ae,
     "sac_curl": run_sac_ae,
+    "her": run_her,
+    "gcsl": run_gcsl,
+    "mbpo": run_mbpo,
 }
