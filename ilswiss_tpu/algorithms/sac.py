@@ -75,7 +75,8 @@ class SAC:
     def __init__(self, obs_size: int, action_size: int,
                  config: SACConfig = SACConfig(),
                  net_size: int = 256, num_hidden_layers: int = 2,
-                 axis_name: str | None = None):
+                 axis_name: str | None = None,
+                 use_pallas_act: bool = False):
         self.config = config
         self.obs_size = obs_size
         self.action_size = action_size
@@ -83,6 +84,10 @@ class SAC:
         # axis: gradients are pmean-reduced so replicated params stay in
         # sync (the learner-DP all-reduce of SURVEY.md §2.5).
         self.axis_name = axis_name
+        # Opt-in fused Pallas kernel for the acting forward (policy MLP
+        # + log-std clamp in one launch; ops/fused_mlp.py).  Training
+        # keeps the flax path for autodiff.
+        self.use_pallas_act = use_pallas_act
         hidden = (net_size,) * num_hidden_layers
         self.policy = TanhGaussianPolicy(
             action_dim=action_size, hidden_sizes=hidden
@@ -128,7 +133,15 @@ class SAC:
     # --- acting -------------------------------------------------------
     def act(self, state: SACState, obs: jnp.ndarray, key: jax.Array,
             deterministic: bool = False) -> jnp.ndarray:
-        mean, log_std = self.policy.apply(state.policy_params, obs)
+        if self.use_pallas_act:
+            from ilswiss_tpu.ops.fused_mlp import (
+                fused_gaussian_policy_forward,
+            )
+            mean, log_std = fused_gaussian_policy_forward(
+                state.policy_params, obs
+            )
+        else:
+            mean, log_std = self.policy.apply(state.policy_params, obs)
         if deterministic:
             return jnp.tanh(mean)
         action, _ = D.tanh_normal_sample(key, mean, log_std)

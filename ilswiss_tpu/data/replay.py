@@ -33,6 +33,12 @@ class ReplayState:
     ep_id: jnp.ndarray            # [capacity] int32 episode id of each row
     ptr: jnp.ndarray              # int32 next write position
     size: jnp.ndarray             # int32 number of valid rows
+    # per-env episode counters for the writing vec env [write_batch];
+    # rows get globally-unique episode ids env_idx * LARGE + counter so
+    # trajectory-aware ops (n-step lookahead, traj sampling) can detect
+    # episode boundaries — the array-native _traj_endpoints
+    # (simple_replay_buffer.py:65-68)
+    env_ep: jnp.ndarray | None = None
 
 
 def round_capacity(capacity: int, write_batch: int) -> int:
@@ -63,11 +69,14 @@ def replay_init(capacity: int, obs_size, action_size: int,
         ep_id=jnp.full((capacity,), -1, jnp.int32),
         ptr=jnp.zeros((), jnp.int32),
         size=jnp.zeros((), jnp.int32),
+        env_ep=jnp.zeros((write_batch,), jnp.int32),
     )
 
 
-def replay_add(state: ReplayState, tr: Transition,
-               ep_id: jnp.ndarray | None = None) -> ReplayState:
+_EP_STRIDE = 1 << 20  # episodes-per-env headroom for unique ids
+
+
+def replay_add(state: ReplayState, tr: Transition) -> ReplayState:
     """Store one vectorized-env batch of B transitions at the cursor.
 
     Requires capacity % B == 0 (guaranteed by `replay_init`), so the write
@@ -88,16 +97,22 @@ def replay_add(state: ReplayState, tr: Transition,
     for k, v in updates.items():
         start = (state.ptr,) + (0,) * (v.ndim - 1)
         data[k] = jax.lax.dynamic_update_slice(state.data[k], v, start)
-    if ep_id is None:
-        ep_id_rows = jnp.zeros((batch,), jnp.int32)
+
+    if state.env_ep is not None and state.env_ep.shape[0] == batch:
+        env_idx = jnp.arange(batch, dtype=jnp.int32)
+        ep_id_rows = env_idx * _EP_STRIDE + state.env_ep
+        new_env_ep = state.env_ep + tr.done.astype(jnp.int32)
     else:
-        ep_id_rows = ep_id.astype(jnp.int32)
-    new_ep = jax.lax.dynamic_update_slice(state.ep_id, ep_id_rows, (state.ptr,))
+        ep_id_rows = jnp.zeros((batch,), jnp.int32)
+        new_env_ep = state.env_ep
+    new_ep = jax.lax.dynamic_update_slice(
+        state.ep_id, ep_id_rows, (state.ptr,))
     return ReplayState(
         data=data,
         ep_id=new_ep,
         ptr=(state.ptr + batch) % capacity,
         size=jnp.minimum(state.size + batch, capacity),
+        env_ep=new_env_ep,
     )
 
 
@@ -133,6 +148,7 @@ def replay_add_masked(state: ReplayState, rows: Dict[str, jnp.ndarray],
         ep_id=state.ep_id,  # model rollouts carry no episode structure
         ptr=(state.ptr + n_alive) % capacity,
         size=jnp.minimum(state.size + n_alive, capacity),
+        env_ep=state.env_ep,
     )
 
 
@@ -146,3 +162,57 @@ def replay_sample(state: ReplayState, key: jax.Array, batch_size: int
         state.size - 1,
     )
     return {k: v[idx] for k, v in state.data.items()}
+
+
+def replay_sample_nstep(state: ReplayState, key: jax.Array,
+                        batch_size: int, n_step: int, discount: float
+                        ) -> Dict[str, jnp.ndarray]:
+    """n-step batch: discounted reward sums + n-step next_obs, masked at
+    episode boundaries (reference multi-step lookahead,
+    simple_replay_buffer.py:295-320 — endpoint dict replaced by ep_id
+    comparisons; rows whose lookahead crosses an episode edge or the
+    write cursor truncate at the last in-episode step).
+
+    Relies on the lockstep write pattern: consecutive steps of one env
+    sit exactly `write_batch` slots apart.
+    """
+    capacity = state.data["reward"].shape[0]
+    stride = state.env_ep.shape[0]  # write_batch
+    u = jax.random.uniform(key, (batch_size,))
+    idx = jnp.minimum(
+        (u * state.size.astype(jnp.float32)).astype(jnp.int32),
+        state.size - 1,
+    )
+    base_ep = state.ep_id[idx]
+
+    def body(carry, k):
+        reward_acc, valid, last_valid_off = carry
+        off_idx = (idx + k * stride) % capacity
+        same_ep = state.ep_id[off_idx] == base_ep
+        step_term = state.data["terminal"][off_idx] > 0.5
+        valid_k = jnp.logical_and(valid, same_ep)
+        reward_acc = reward_acc + jnp.where(
+            valid_k, (discount ** k) * state.data["reward"][off_idx], 0.0
+        )
+        last_valid_off = jnp.where(valid_k, k, last_valid_off)
+        # stop extending after a terminal inside the window
+        valid = jnp.logical_and(valid_k, jnp.logical_not(step_term))
+        return (reward_acc, valid, last_valid_off), None
+
+    init = (
+        jnp.zeros((batch_size,), jnp.float32),
+        jnp.ones((batch_size,), bool),
+        jnp.zeros((batch_size,), jnp.int32),
+    )
+    (reward_acc, _, last_off), _ = jax.lax.scan(
+        body, init, jnp.arange(n_step))
+
+    end_idx = (idx + last_off * stride) % capacity
+    return {
+        "obs": state.data["obs"][idx],
+        "action": state.data["action"][idx],
+        "reward": reward_acc,
+        "next_obs": state.data["next_obs"][end_idx],
+        "terminal": state.data["terminal"][end_idx],
+        "n_step_used": last_off + 1,
+    }

@@ -53,9 +53,25 @@ def _run_host_off_policy(algo, variant: Dict, rl: Dict, logger: Logger,
 
     env_kwargs = dict(env_kwargs)
     max_path_length = env_kwargs.pop("max_episode_steps", None)
-    env = GymVectorEnv(env_name, num_envs=num_envs, seed=seed,
-                       max_episode_steps=max_path_length,
-                       env_kwargs=env_kwargs)
+    env = None
+    if bool(variant.get("use_native_engine", True)):
+        # prefer the C++ mjvec engine where it covers the env (4x the
+        # gymnasium thread-pool throughput); fall back otherwise
+        try:
+            from ilswiss_tpu.envs.native_mujoco import (
+                _ENV_TYPES, NativeMjVectorEnv,
+            )
+            if env_name in _ENV_TYPES:
+                env = NativeMjVectorEnv(
+                    env_name, num_envs=num_envs, seed=seed,
+                    max_episode_steps=max_path_length)
+                logger.log(f"using native mjvec engine for {env_name}")
+        except Exception as e:  # build/toolchain issues -> gym path
+            logger.log(f"native engine unavailable ({e}); using gym")
+    if env is None:
+        env = GymVectorEnv(env_name, num_envs=num_envs, seed=seed,
+                           max_episode_steps=max_path_length,
+                           env_kwargs=env_kwargs)
     loop = HostOffPolicyLoop(env, algo, HostLoopConfig(
         batch_size=int(rl.get("batch_size", 256)),
         replay_capacity=int(rl.get("replay_buffer_size", 1_000_000)),
@@ -417,17 +433,28 @@ def run_ppo(variant: Dict[str, Any]):
     )
     loop = OnPolicyLoop(
         vec, algo,
-        OnPolicyConfig(rollout_length=int(p.get("rollout_length", 128))),
+        OnPolicyConfig(
+            rollout_length=int(p.get("rollout_length", 128)),
+            normalize_obs=bool(
+                _alg(variant, "env_specs").get("obs_norm", False)),
+        ),
     )
     steps_per_epoch = int(rl.get("num_steps_per_epoch", 10_000))
     num_epochs = int(rl.get("num_epochs", 100))
     max_path_length = int(rl.get("max_path_length", 1000))
 
     warmup, train_epoch = loop.build(steps_per_epoch)
-    evaluator = make_evaluator(
-        vec, lambda s, o, k: algo.act(s, o, k, deterministic=True),
-        max_path_length,
-    )
+
+    from ilswiss_tpu.utils.running_stats import normalize as _norm_obs
+
+    def eval_act(st, o, k):
+        algo_state, obs_rms = st
+        if obs_rms is not None:
+            o = _norm_obs(obs_rms, o)
+        return algo.act(algo_state, o, k, deterministic=True)
+
+    # evaluator threads (algo_state, obs_rms) so the jit is built once
+    evaluator = make_evaluator(vec, eval_act, max_path_length)
     snap = SnapshotManager(
         logger.log_dir, gap=int(rl.get("freq_saving", 10)),
         save_best=bool(rl.get("save_best", True)),
@@ -439,7 +466,8 @@ def run_ppo(variant: Dict[str, Any]):
         metrics = jax.device_get(metrics)
         train_time = time.time() - t0
         eval_stats = jax.device_get(
-            evaluator(runner.algo_state, jax.random.PRNGKey(seed + epoch + 1))
+            evaluator((runner.algo_state, runner.obs_rms),
+                      jax.random.PRNGKey(seed + epoch + 1))
         )
         logger.record_dict({k: float(v) for k, v in metrics.items()},
                            prefix="trainer/")

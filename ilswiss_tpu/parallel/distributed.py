@@ -105,6 +105,7 @@ class DistributedOffPolicyRunner:
             ep_id=jnp.full((n * cap,), -1, jnp.int32),
             ptr=jnp.zeros((n,), jnp.int32),
             size=jnp.zeros((n,), jnp.int32),
+            env_ep=jnp.zeros((n * loop.vec_env.num_envs,), jnp.int32),
         )
         runner = RunnerState(
             rng=jax.random.split(k_rng, n),

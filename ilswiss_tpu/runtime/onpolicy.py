@@ -19,11 +19,19 @@ from flax import struct
 
 from ilswiss_tpu.envs.base import EnvState
 from ilswiss_tpu.envs.vector import VectorEnv
+from ilswiss_tpu.utils.running_stats import (
+    normalize, running_mean_std_init, running_mean_std_update,
+)
 
 
 @dataclass(frozen=True)
 class OnPolicyConfig:
     rollout_length: int = 128  # T env steps per update (per env)
+    # Running observation normalization (the reference vec-env's
+    # obs_rms, rlkit/envs/vecenvs.py:102-107,299-327): moments update
+    # from each rollout, policy/value see normalized observations.
+    normalize_obs: bool = False
+    obs_clip: float = 10.0
 
 
 @struct.dataclass
@@ -32,6 +40,7 @@ class OnPolicyRunnerState:
     env_state: EnvState
     algo_state: Any
     total_env_steps: jnp.ndarray
+    obs_rms: Any = None
 
 
 class OnPolicyLoop:
@@ -46,19 +55,30 @@ class OnPolicyLoop:
 
     def init(self, key: jax.Array) -> OnPolicyRunnerState:
         k_env, k_algo = jax.random.split(key)
+        obs_rms = (
+            running_mean_std_init((self.vec_env.env.observation_size,))
+            if self.config.normalize_obs else None
+        )
         return OnPolicyRunnerState(
             rng=key,
             env_state=self.vec_env.reset(k_env),
             algo_state=self.algo.init(k_algo),
             total_env_steps=jnp.zeros((), jnp.int32),
+            obs_rms=obs_rms,
         )
+
+    def _norm(self, runner, obs):
+        if runner.obs_rms is None:
+            return obs
+        return normalize(runner.obs_rms, obs, self.config.obs_clip)
 
     def _iter(self, runner: OnPolicyRunnerState):
         T = self.config.rollout_length
 
         def env_step(carry, key):
             env_state = carry
-            action = self.algo.act(runner.algo_state, env_state.obs, key)
+            action = self.algo.act(
+                runner.algo_state, self._norm(runner, env_state.obs), key)
             new_state, tr = self.vec_env.step(env_state, action)
             return new_state, tr
 
@@ -66,13 +86,20 @@ class OnPolicyLoop:
         keys = jax.random.split(k_roll, T)
         env_state, trs = jax.lax.scan(env_step, runner.env_state, keys)
 
+        obs_rms = runner.obs_rms
+        if obs_rms is not None:
+            obs_rms = running_mean_std_update(
+                obs_rms, trs.obs.reshape(-1, trs.obs.shape[-1]),
+                axis_name=getattr(self.algo, "axis_name", None),
+            )
         rollout = {
-            "obs": trs.obs,
+            "obs": self._norm(runner.replace(obs_rms=obs_rms), trs.obs),
             "action": trs.action,
             "reward": trs.reward,
             "terminal": trs.terminal,
             "done": trs.done,
-            "last_obs": env_state.obs,
+            "last_obs": self._norm(
+                runner.replace(obs_rms=obs_rms), env_state.obs),
         }
         algo_state, metrics = self.algo.train_step(
             runner.algo_state, rollout, k_train
@@ -85,6 +112,7 @@ class OnPolicyLoop:
             env_state=env_state,
             algo_state=algo_state,
             total_env_steps=runner.total_env_steps + steps,
+            obs_rms=obs_rms,
         ), metrics
 
     def epoch_fns(self, steps_per_epoch: int) -> tuple[Callable, Callable]:
