@@ -21,6 +21,9 @@ BASELINE_STEPS_PER_S = 1_000.0
 
 
 def main() -> None:
+    from ilswiss_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     from ilswiss_tpu.algorithms.sac import SAC, SACConfig
     from ilswiss_tpu.envs import make_vec
     from ilswiss_tpu.runtime.loop import OffPolicyConfig, OffPolicyLoop

@@ -105,10 +105,22 @@ class SAC:
 
     # --- stacked-critic helpers ---------------------------------------
     def q_apply(self, stacked_params, obs, actions) -> jnp.ndarray:
-        """[2, B, 1] Q values from the stacked critic pair."""
-        return jax.vmap(self.qf.apply, in_axes=(0, None, None))(
-            stacked_params, obs, actions
-        )
+        """[2, B, 1] Q values from the stacked critic pair.
+
+        Computed as two explicit applies over sliced params rather than
+        vmap-of-apply: the tunneled TPU terminal's (older) XLA wedges
+        compiling batched-gradient-of-vmapped-apply programs, while this
+        sliced form lowers to the same plain matmul HLO that is proven
+        to compile and train (the slice is free — XLA folds it into the
+        operand)."""
+        qs = [
+            self.qf.apply(
+                jax.tree.map(lambda x, e=e: x[e], stacked_params),
+                obs, actions,
+            )
+            for e in range(2)
+        ]
+        return jnp.stack(qs, axis=0)
 
     # ------------------------------------------------------------------
     def init(self, key: jax.Array) -> SACState:

@@ -1,0 +1,29 @@
+"""Persistent XLA compilation cache.
+
+The tunneled TPU's remote compile service can be slow (minutes per
+program under load), so every entry point enables JAX's persistent
+compilation cache: compiled executables are serialized under
+.jax_cache/ and later processes (including the benchmark driver) load
+them in seconds.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+_DEFAULT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))),
+    ".jax_cache",
+)
+
+
+def enable_persistent_cache(cache_dir: str | None = None) -> str:
+    cache_dir = cache_dir or os.environ.get(
+        "ILSWISS_JAX_CACHE", _DEFAULT_DIR)
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return cache_dir
