@@ -75,6 +75,55 @@ def load_demos_npz(path: str) -> ReplayState:
     )
 
 
+def wrap_absorbing_demos(state: ReplayState) -> ReplayState:
+    """Extend demos with DAC absorbing indicators + transitions
+    (reference simple_replay_buffer.add_path wrap_absorbing branch,
+    :134-216): obs gain a 0-flag dim; each terminal transition is
+    redirected into the absorbing state and followed by one
+    absorbing self-loop row with zero action/reward."""
+    obs = np.asarray(state.data["obs"])
+    next_obs = np.asarray(state.data["next_obs"])
+    action = np.asarray(state.data["action"])
+    reward = np.asarray(state.data["reward"])
+    terminal = np.asarray(state.data["terminal"])
+    ep_id = np.asarray(state.ep_id)
+    n, d = obs.shape
+
+    pad0 = lambda x: np.concatenate(
+        [x, np.zeros((len(x), 1), x.dtype)], axis=-1)
+    absorb = np.zeros((1, d + 1), np.float32)
+    absorb[0, -1] = 1.0
+
+    rows = {
+        "obs": [], "action": [], "reward": [], "next_obs": [],
+        "terminal": [], "ep": [],
+    }
+    for i in range(n):
+        o = pad0(obs[i:i + 1])
+        nx = (absorb if terminal[i] > 0.5 else pad0(next_obs[i:i + 1]))
+        rows["obs"].append(o)
+        rows["action"].append(action[i:i + 1])
+        rows["reward"].append(reward[i:i + 1])
+        rows["next_obs"].append(nx)
+        rows["terminal"].append(np.zeros(1))
+        rows["ep"].append(ep_id[i:i + 1])
+        if terminal[i] > 0.5:  # absorbing self-loop row
+            rows["obs"].append(absorb)
+            rows["action"].append(np.zeros_like(action[i:i + 1]))
+            rows["reward"].append(np.zeros(1))
+            rows["next_obs"].append(absorb)
+            rows["terminal"].append(np.ones(1))
+            rows["ep"].append(ep_id[i:i + 1])
+    return demos_to_replay_state(
+        np.concatenate(rows["obs"]),
+        np.concatenate(rows["action"]),
+        np.concatenate(rows["reward"]),
+        np.concatenate(rows["next_obs"]),
+        np.concatenate(rows["terminal"]),
+        np.concatenate(rows["ep"]),
+    )
+
+
 def subsample_trajs(state: ReplayState, num_trajs: int) -> ReplayState:
     """Keep the first `num_trajs` episodes (the reference's
     `traj_num` demo subsetting in adv_irl_exp_script.py)."""

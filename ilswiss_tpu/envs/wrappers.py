@@ -75,6 +75,78 @@ class ScaledEnv(_DelegatingEnv):
         return self.inner.scale_action(normalized)
 
 
+class AbsorbingEnv(_DelegatingEnv):
+    """DAC-style absorbing states (reference wrap_absorbing:
+    adv_irl.py:144-171 + simple_replay_buffer.py:134-216).
+
+    Observations gain a trailing indicator dim (0 = normal, 1 =
+    absorbing).  When the inner env terminates, instead of resetting
+    immediately the episode transitions into a zero-observation
+    absorbing state with a self-loop for one step (reward 0), so the
+    discriminator/policy see explicit absorbing transitions and episode
+    returns are not biased by termination — the core DAC trick.
+    """
+
+    def __init__(self, inner: Environment):
+        super().__init__(inner)
+        self.observation_size = inner.observation_size + 1
+        # absorbing self-loop consumes a step; keep horizon semantics
+        self.max_episode_steps = inner.max_episode_steps + 1
+
+    def _pad(self, obs, flag: float):
+        f = jnp.full(obs.shape[:-1] + (1,), flag, obs.dtype)
+        return jnp.concatenate([obs, f], axis=-1)
+
+    def _absorbing_obs(self, obs_like):
+        zero = jnp.zeros(obs_like.shape[:-1] + (self.inner.observation_size,),
+                         obs_like.dtype)
+        return self._pad(zero, 1.0)
+
+    def reset(self, key):
+        state = self.inner.reset(key)
+        return state.replace(
+            internal=(state.internal, jnp.zeros((), bool)),
+            obs=self._pad(state.obs, 0.0),
+        )
+
+    def step(self, state, action):
+        inner_internal, in_absorbing = state.internal
+        inner_state = state.replace(internal=inner_internal,
+                                    obs=state.obs[..., :-1])
+        out = self.inner.step(inner_state, action)
+
+        # normal branch: pad obs; entering absorbing on terminal
+        entered_absorbing = out.terminal
+        normal_obs = jnp.where(
+            entered_absorbing,
+            self._absorbing_obs(out.obs),
+            self._pad(out.obs, 0.0),
+        )
+        # absorbing branch: self-loop, zero reward, terminal now
+        absorb_obs = self._absorbing_obs(out.obs)
+
+        obs = jnp.where(in_absorbing, absorb_obs, normal_obs)
+        reward = jnp.where(in_absorbing, 0.0, out.reward)
+        # the episode ends after the absorbing self-loop step (or on
+        # truncation); entering absorbing does NOT end it
+        terminal = jnp.logical_and(in_absorbing, True)
+        truncation = jnp.logical_and(
+            out.truncation, jnp.logical_not(entered_absorbing))
+        next_absorbing = jnp.logical_or(
+            entered_absorbing, jnp.zeros((), bool))
+        new_state = out.state.replace(
+            internal=(out.state.internal, next_absorbing),
+            obs=obs,
+        )
+        return out.replace(
+            state=new_state, obs=obs, reward=reward,
+            terminal=terminal, truncation=truncation,
+        )
+
+    def scale_action(self, normalized):
+        return self.inner.scale_action(normalized)
+
+
 class MinmaxEnv(_DelegatingEnv):
     """obs -> (obs - min) / (max - min)  (reference MinmaxEnv:143)."""
 
