@@ -529,6 +529,147 @@ def run_bc(variant: Dict[str, Any]):
     return runner
 
 
+def _resolve_expert_fn(variant: Dict, vec):
+    """Expert policy to query: a scripted controller
+    (envs/experts.py) or a frozen trained checkpoint (the reference
+    loads `expert_policy_path` pickles, dagger_exp_script.py)."""
+    scripted = variant.get("scripted_expert")
+    if scripted:
+        import importlib
+        mod_name, fn_name = str(scripted).split(":")
+        expert = getattr(importlib.import_module(mod_name), fn_name)
+        return lambda obs: expert(obs)
+    from ilswiss_tpu.algorithms.sac import SAC, SACConfig
+    from ilswiss_tpu.runtime.checkpoint import restore_checkpoint
+    path = variant["expert_policy_path"]
+    sac = SAC(vec.env.observation_size, vec.env.action_size, SACConfig(),
+              net_size=int(variant.get("expert_net_size",
+                                       variant.get("net_size", 256))),
+              num_hidden_layers=int(variant.get(
+                  "expert_num_hidden_layers",
+                  variant.get("num_hidden_layers", 2))))
+    template = {"algo_state": sac.init(jax.random.PRNGKey(0))}
+    algo_state = restore_checkpoint(path, template)["algo_state"]
+    key = jax.random.PRNGKey(0)
+    return lambda obs: sac.act(algo_state, obs, key, deterministic=True)
+
+
+def run_dagger(variant: Dict[str, Any]):
+    """DAgger (reference run_scripts/dagger_exp_script.py;
+    dagger/dagger.py:45-71 expert-relabeled on-policy aggregation)."""
+    from ilswiss_tpu.algorithms.bc import BC, BCConfig
+    from ilswiss_tpu.algorithms.dagger import DAggerLoop, DAggerLoopConfig
+    from ilswiss_tpu.data.demo import load_demos_npz, subsample_trajs
+
+    seed, env_name, env_kwargs, num_envs, rl, logger = _setup(
+        variant, "dagger")
+    p = _alg(variant, "dagger_params")
+    # the reference nests all loop params inside dagger_params
+    # (exp_specs/dagger.yaml) — accept either layout
+    for k, v in p.items():
+        rl.setdefault(k, v)
+    vec = make_vec(env_name, num_envs=max(num_envs, 8), **env_kwargs)
+    demos = load_demos_npz(_resolve_demo_path(variant))
+    if variant.get("traj_num"):
+        demos = subsample_trajs(demos, int(variant["traj_num"]))
+    bc = BC(
+        obs_size=vec.env.observation_size,
+        action_size=vec.env.action_size,
+        config=BCConfig(mode=str(p.get("mode", "MLE")),
+                        lr=float(p.get("lr", 3e-4))),
+        net_size=int(variant.get("policy_net_size",
+                                 variant.get("net_size", 256))),
+        num_hidden_layers=int(variant.get(
+            "policy_num_hidden_layers",
+            variant.get("num_hidden_layers", 2))),
+    )
+    expert_fn = _resolve_expert_fn(variant, vec)
+    loop = DAggerLoop(
+        vec, bc, expert_fn, demos,
+        DAggerLoopConfig(
+            batch_size=int(rl.get("batch_size", 256)),
+            aggregate_capacity=int(rl.get("replay_buffer_size", 200_000)),
+            grad_steps_per_iter=_grad_steps_per_iter(rl, vec.num_envs),
+        ),
+    )
+    steps_per_epoch = int(rl.get("num_steps_per_epoch", 8000))
+    num_epochs = int(rl.get("num_epochs", 100))
+    pretrain, train_epoch = loop.build(
+        steps_per_epoch,
+        initial_train_steps=int(rl.get("num_initial_train_steps", 1000)),
+    )
+    evaluator = make_evaluator(
+        vec, lambda s, o, k: bc.act(s, o, k, deterministic=True),
+        int(rl.get("max_path_length", 1000)),
+    )
+    snap = SnapshotManager(logger.log_dir,
+                           gap=int(rl.get("freq_saving", 10)))
+    runner = pretrain(loop.init(jax.random.PRNGKey(seed)))
+    for epoch in range(num_epochs):
+        t0 = time.time()
+        runner, metrics = train_epoch(runner)
+        eval_stats = jax.device_get(
+            evaluator(runner.algo_state,
+                      jax.random.PRNGKey(seed + epoch + 1)))
+        logger.record_dict(
+            {k: float(v) for k, v in jax.device_get(metrics).items()},
+            prefix="trainer/")
+        logger.record_dict({k: float(v) for k, v in eval_stats.items()})
+        logger.record_tabular("TrainTime", time.time() - t0)
+        logger.dump_tabular(epoch)
+        snap.on_epoch(epoch, runner, eval_stats)
+    logger.close()
+    return runner
+
+
+def run_eval_policy(variant: Dict[str, Any]):
+    """Standalone policy evaluation from a checkpoint (reference
+    run_scripts/evaluate_policy.py + exp_specs/eval_policy.yaml):
+    deterministic rollouts, return stats, optional demo saving."""
+    from ilswiss_tpu.algorithms.sac import SAC, SACConfig
+    from ilswiss_tpu.runtime.checkpoint import restore_checkpoint
+
+    seed, env_name, env_kwargs, num_envs, rl, logger = _setup(
+        variant, "eval_policy")
+    max_path_length = int(variant.get(
+        "max_path_length", rl.get("max_path_length", 1000)))
+    num_eval_steps = int(variant.get(
+        "num_eval_steps", rl.get("num_steps_per_eval", 2000)))
+    vec = make_vec(env_name, num_envs=max(num_envs, 8), **env_kwargs)
+    sac = SAC(vec.env.observation_size, vec.env.action_size, SACConfig(),
+              net_size=int(variant.get("policy_net_size", 256)),
+              num_hidden_layers=int(variant.get(
+                  "policy_num_hidden_layers", 2)))
+    template = {"algo_state": sac.init(jax.random.PRNGKey(0))}
+    algo_state = restore_checkpoint(
+        variant["policy_checkpoint"], template)["algo_state"]
+    deterministic = bool(variant.get("eval_deterministic", True))
+
+    evaluator = make_evaluator(
+        vec,
+        lambda s, o, k: sac.act(s, o, k, deterministic=deterministic),
+        max_path_length,
+    )
+    stats = jax.device_get(evaluator(algo_state, jax.random.PRNGKey(seed)))
+    logger.record_dict({k: float(v) for k, v in stats.items()})
+    logger.dump_tabular(0)
+
+    if bool(variant.get("save_samples", False)):
+        from ilswiss_tpu.data.demo import save_demos_npz
+        from ilswiss_tpu.runtime.collector import collect_transitions
+        steps_per_env = max(1, num_eval_steps // vec.num_envs)
+        demos = collect_transitions(
+            vec,
+            lambda o, k: sac.act(algo_state, o, k,
+                                 deterministic=deterministic),
+            steps_per_env, jax.random.PRNGKey(seed + 1))
+        out = os.path.join(logger.log_dir, "eval_samples.npz")
+        save_demos_npz(out, demos)
+        logger.log(f"saved {int(demos.size)} transitions to {out}")
+    logger.close()
+    return stats
+
+
 def run_adv_irl(variant: Dict[str, Any]):
     """GAIL/AIRL/FAIRL (reference run_scripts/adv_irl_exp_script.py)."""
     from ilswiss_tpu.algorithms.adv_irl import AdvIRL, AdvIRLConfig
@@ -901,6 +1042,8 @@ EXPERIMENTS: Dict[str, Callable] = {
     "discrete_sac": run_discrete_sac,
     "ppo": run_ppo,
     "bc": run_bc,
+    "dagger": run_dagger,
+    "eval_policy": run_eval_policy,
     "adv_irl": run_adv_irl,
     "gail": run_adv_irl,
     "sac_ae": run_sac_ae,

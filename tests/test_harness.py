@@ -122,3 +122,78 @@ def test_run_experiment_end_to_end(tmp_path):
     assert "AverageReturn" in rows[0]
     assert (tmp_path / "run" / "checkpoints").exists()
     assert (tmp_path / "run" / "variant.json").exists()
+
+
+def test_run_dagger_end_to_end(tmp_path):
+    """DAgger runner: scripted expert + seeded demos through the
+    variant path (reference run_scripts/dagger_exp_script.py)."""
+    import jax.random as jr
+
+    from ilswiss_tpu.data.demo import save_demos_npz
+    from ilswiss_tpu.envs import make_vec
+    from ilswiss_tpu.envs.experts import pendulum_expert
+    from ilswiss_tpu.launchers.experiments import run_dagger
+    from ilswiss_tpu.runtime.collector import collect_transitions
+
+    vec = make_vec("pendulum", num_envs=4)
+    demos = collect_transitions(
+        vec, lambda o, k: pendulum_expert(o), 50, jr.PRNGKey(0))
+    demo_path = str(tmp_path / "demos.npz")
+    save_demos_npz(demo_path, demos)
+
+    variant = {
+        "seed": 0,
+        "demo_path": demo_path,
+        "scripted_expert": "ilswiss_tpu.envs.experts:pendulum_expert",
+        "policy_net_size": 32,
+        "policy_num_hidden_layers": 1,
+        "log_dir": str(tmp_path / "run"),
+        "print_to_console": False,
+        "dagger_params": {
+            "mode": "MSE",
+            "num_epochs": 2,
+            "num_steps_per_epoch": 32,
+            "num_initial_train_steps": 4,
+            "batch_size": 32,
+            "replay_buffer_size": 2048,
+            "max_path_length": 50,
+        },
+        "env_specs": {"env_name": "pendulum", "env_num": 4},
+    }
+    run_dagger(variant)
+    csv_path = tmp_path / "run" / "progress.csv"
+    assert csv_path.exists()
+    with open(csv_path) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 2 and "AverageReturn" in rows[0]
+
+
+def test_run_eval_policy_end_to_end(tmp_path):
+    """eval_policy runner: checkpoint -> stats + saved samples
+    (reference run_scripts/evaluate_policy.py)."""
+    from ilswiss_tpu.algorithms.sac import SAC, SACConfig
+    from ilswiss_tpu.data.demo import load_demos_npz
+    from ilswiss_tpu.launchers.experiments import run_eval_policy
+    from ilswiss_tpu.runtime.checkpoint import save_checkpoint
+
+    sac = SAC(3, 1, SACConfig(), net_size=16, num_hidden_layers=1)
+    state = sac.init(jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, {"algo_state": state})
+
+    variant = {
+        "seed": 0,
+        "policy_checkpoint": ckpt,
+        "policy_net_size": 16,
+        "policy_num_hidden_layers": 1,
+        "max_path_length": 50,
+        "num_eval_steps": 64,
+        "save_samples": True,
+        "log_dir": str(tmp_path / "run"),
+        "print_to_console": False,
+        "env_specs": {"env_name": "pendulum", "env_num": 4},
+    }
+    stats = run_eval_policy(variant)
+    assert np.isfinite(stats["AverageReturn"])
+    saved = load_demos_npz(str(tmp_path / "run" / "eval_samples.npz"))
+    assert int(saved.size) == 64
