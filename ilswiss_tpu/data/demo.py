@@ -124,6 +124,39 @@ def wrap_absorbing_demos(state: ReplayState) -> ReplayState:
     )
 
 
+def demo_obs_stats(state: ReplayState) -> Dict[str, np.ndarray]:
+    """Per-dim obs statistics over the demo set (reference
+    adv_irl_exp_script.py:56-60: mean/std/min/max of stacked
+    observations drive ScaledEnv / MinmaxEnv)."""
+    obs = np.asarray(state.data["obs"])
+    return {
+        "obs_mean": obs.mean(axis=0),
+        "obs_std": obs.std(axis=0),
+        "obs_min": obs.min(axis=0),
+        "obs_max": obs.max(axis=0),
+    }
+
+
+def scale_demos(state: ReplayState, mean: np.ndarray, std: np.ndarray,
+                eps: float = 1e-8) -> ReplayState:
+    """Standardize demo obs/next_obs by the given stats (reference
+    adv_irl_exp_script.py:97-103)."""
+    data = dict(state.data)
+    data["obs"] = (state.data["obs"] - mean) / (std + eps)
+    data["next_obs"] = (state.data["next_obs"] - mean) / (std + eps)
+    return state.replace(data=data)
+
+
+def minmax_demos(state: ReplayState, lo: np.ndarray, hi: np.ndarray,
+                 eps: float = 1e-8) -> ReplayState:
+    """Map demo obs/next_obs to [0, 1] by demo min/max (reference
+    adv_irl_exp_script.py:105-115)."""
+    data = dict(state.data)
+    data["obs"] = (state.data["obs"] - lo) / (hi - lo + eps)
+    data["next_obs"] = (state.data["next_obs"] - lo) / (hi - lo + eps)
+    return state.replace(data=data)
+
+
 def subsample_trajs(state: ReplayState, num_trajs: int) -> ReplayState:
     """Keep the first `num_trajs` episodes (the reference's
     `traj_num` demo subsetting in adv_irl_exp_script.py)."""

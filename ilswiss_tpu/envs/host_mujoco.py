@@ -138,3 +138,117 @@ class GymVectorEnv:
             env.close()
         if self._pool is not None:
             self._pool.shutdown()
+
+
+class _DelegatingHostEnv:
+    """Shares the GymVectorEnv step contract; wraps any host vec env."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.num_envs = inner.num_envs
+        self.name = inner.name
+        self.observation_size = inner.observation_size
+        self.action_size = inner.action_size
+        self.discrete = getattr(inner, "discrete", False)
+        self.max_episode_steps = inner.max_episode_steps
+
+    def reset(self, seed: int | None = None) -> np.ndarray:
+        return self.inner.reset(seed=seed)
+
+    def step(self, normalized_actions: np.ndarray) -> Tuple[np.ndarray, ...]:
+        return self.inner.step(normalized_actions)
+
+    def close(self) -> None:
+        self.inner.close()
+
+
+class ScaledHostEnv(_DelegatingHostEnv):
+    """Demo-stats obs standardization for host envs (reference ScaledEnv,
+    rlkit/envs/wrappers.py:53, applied in adv_irl_exp_script.py:86-103)."""
+
+    def __init__(self, inner, obs_mean, obs_std, eps: float = 1e-8):
+        super().__init__(inner)
+        self.obs_mean = np.asarray(obs_mean, np.float32)
+        self.obs_denom = np.asarray(obs_std, np.float32) + eps
+
+    def _scale(self, obs):
+        return (obs - self.obs_mean) / self.obs_denom
+
+    def reset(self, seed: int | None = None) -> np.ndarray:
+        return self._scale(self.inner.reset(seed=seed))
+
+    def step(self, normalized_actions):
+        obs_prev, true_next, reward, terminal, done, obs_after = (
+            self.inner.step(normalized_actions))
+        return (self._scale(obs_prev), self._scale(true_next), reward,
+                terminal, done, self._scale(obs_after))
+
+
+class MinmaxHostEnv(ScaledHostEnv):
+    """obs -> (obs - min) / (max - min)  (reference MinmaxEnv:143)."""
+
+    def __init__(self, inner, obs_min, obs_max, eps: float = 1e-8):
+        _DelegatingHostEnv.__init__(self, inner)
+        self.obs_mean = np.asarray(obs_min, np.float32)
+        self.obs_denom = (
+            np.asarray(obs_max, np.float32)
+            - np.asarray(obs_min, np.float32) + eps
+        )
+
+
+class AbsorbingHostEnv(_DelegatingHostEnv):
+    """DAC absorbing states on host envs, mirroring envs.wrappers.
+    AbsorbingEnv semantics: obs gain a trailing indicator dim; a true
+    terminal routes into a zero-obs absorbing state with one self-loop
+    step (zero reward) before the underlying reset's obs is exposed.
+
+    As in the device wrapper, the inner env still advances during the
+    self-loop step (there the discarded pre-reset state; here, with
+    inner autoreset, one throwaway step of the fresh episode) -- the
+    recorded DAC transitions are exact, episodes just resume one inner
+    step in.
+    """
+
+    def __init__(self, inner):
+        super().__init__(inner)
+        self.observation_size = inner.observation_size + 1
+        self.max_episode_steps = inner.max_episode_steps + 1
+        self._in_absorbing = np.zeros((inner.num_envs,), bool)
+
+    def _pad(self, obs, flag: float = 0.0):
+        f = np.full((obs.shape[0], 1), flag, np.float32)
+        return np.concatenate([obs, f], axis=-1)
+
+    def _absorb(self, n: int):
+        out = np.zeros((n, self.observation_size), np.float32)
+        out[:, -1] = 1.0
+        return out
+
+    def reset(self, seed: int | None = None) -> np.ndarray:
+        self._in_absorbing[:] = False
+        return self._pad(self.inner.reset(seed=seed))
+
+    def step(self, normalized_actions):
+        B = self.num_envs
+        was_absorbing = self._in_absorbing.copy()
+        obs_prev_i, true_next_i, reward_i, terminal_i, done_i, obs_after_i = (
+            self.inner.step(normalized_actions))
+
+        obs_prev = np.where(
+            was_absorbing[:, None], self._absorb(B), self._pad(obs_prev_i))
+        reward = np.where(was_absorbing, 0.0, reward_i)
+        entered = np.logical_and(~was_absorbing, terminal_i)
+        # the absorbing self-loop row ends the episode
+        terminal = was_absorbing.copy()
+        done = np.logical_or(
+            was_absorbing, np.logical_and(done_i, ~entered))
+        true_next = np.where(
+            np.logical_or(was_absorbing, entered)[:, None],
+            self._absorb(B), self._pad(true_next_i))
+
+        # rows entering absorbing expose the absorbing obs for one step;
+        # afterwards the stream rejoins the inner env's live obs
+        obs_after = self._pad(obs_after_i)
+        obs_after[entered] = self._absorb(B)[entered]
+        self._in_absorbing = entered
+        return obs_prev, true_next, reward, terminal, done, obs_after

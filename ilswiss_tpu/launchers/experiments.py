@@ -41,14 +41,16 @@ def _is_host_env(env_name: str) -> bool:
     )
 
 
-def _run_host_off_policy(algo, variant: Dict, rl: Dict, logger: Logger,
-                         seed: int, env_name: str, env_kwargs: Dict,
-                         num_envs: int):
-    """MuJoCo-family path: host actor + TPU learner
-    (runtime/host_loop.py)."""
-    from ilswiss_tpu.envs.host_mujoco import GymVectorEnv
-    from ilswiss_tpu.runtime.host_loop import (
-        HostLoopConfig, HostOffPolicyLoop,
+def _make_host_env(variant: Dict, env_name: str, env_kwargs: Dict,
+                   num_envs: int, seed: int, logger: Logger,
+                   demo_stats: Dict | None = None,
+                   wrap_absorbing: bool = False):
+    """Build a host vec env (native C++ mjvec where covered, gymnasium
+    threads otherwise), with optional demo-stats obs scaling
+    (reference ScaledEnv/MinmaxEnv, adv_irl_exp_script.py:86-115) and
+    DAC absorbing-state wrapping."""
+    from ilswiss_tpu.envs.host_mujoco import (
+        AbsorbingHostEnv, GymVectorEnv, MinmaxHostEnv, ScaledHostEnv,
     )
 
     env_kwargs = dict(env_kwargs)
@@ -72,6 +74,31 @@ def _run_host_off_policy(algo, variant: Dict, rl: Dict, logger: Logger,
         env = GymVectorEnv(env_name, num_envs=num_envs, seed=seed,
                            max_episode_steps=max_path_length,
                            env_kwargs=env_kwargs)
+    if demo_stats is not None:
+        if demo_stats.get("minmax"):
+            env = MinmaxHostEnv(env, demo_stats["obs_min"],
+                                demo_stats["obs_max"])
+        else:
+            env = ScaledHostEnv(env, demo_stats["obs_mean"],
+                                demo_stats["obs_std"])
+    if wrap_absorbing:
+        env = AbsorbingHostEnv(env)
+    return env
+
+
+def _run_host_off_policy(algo, variant: Dict, rl: Dict, logger: Logger,
+                         seed: int, env_name: str, env_kwargs: Dict,
+                         num_envs: int, demo_stats: Dict | None = None,
+                         wrap_absorbing: bool = False):
+    """MuJoCo-family path: host actor + TPU learner
+    (runtime/host_loop.py)."""
+    from ilswiss_tpu.runtime.host_loop import (
+        HostLoopConfig, HostOffPolicyLoop,
+    )
+
+    env = _make_host_env(variant, env_name, env_kwargs, num_envs, seed,
+                         logger, demo_stats=demo_stats,
+                         wrap_absorbing=wrap_absorbing)
     loop = HostOffPolicyLoop(env, algo, HostLoopConfig(
         batch_size=int(rl.get("batch_size", 256)),
         replay_capacity=int(rl.get("replay_buffer_size", 1_000_000)),
@@ -81,6 +108,7 @@ def _run_host_off_policy(algo, variant: Dict, rl: Dict, logger: Logger,
             rl.get("num_train_steps_per_train_call", 1000)),
         min_steps_before_training=int(
             rl.get("min_steps_before_training", 1000)),
+        no_terminal=bool(rl.get("no_terminal", False)),
     ))
     steps_per_epoch = int(rl.get("num_steps_per_epoch", 10_000))
     num_epochs = int(rl.get("num_epochs", 100))
@@ -93,6 +121,50 @@ def _run_host_off_policy(algo, variant: Dict, rl: Dict, logger: Logger,
 
     runner = loop.init(seed=seed)
     runner = loop.warmup(runner)
+    for epoch in range(num_epochs):
+        t0 = time.time()
+        runner, metrics = loop.train_epoch(runner, steps_per_epoch)
+        train_time = time.time() - t0
+        eval_stats = loop.evaluate(
+            runner, num_eval_episodes, seed=seed + epoch + 1)
+        logger.record_dict(metrics, prefix="trainer/")
+        logger.record_dict(eval_stats)
+        logger.record_tabular("TotalEnvSteps", runner.total_env_steps)
+        logger.record_tabular("TrainTime", train_time)
+        logger.record_tabular("EnvStepsPerSec",
+                              steps_per_epoch / max(train_time, 1e-9))
+        logger.dump_tabular(epoch)
+        snap.on_epoch(epoch, runner, eval_stats)
+    env.close()
+    logger.close()
+    return runner
+
+
+def _run_host_on_policy(algo, variant: Dict, p: Dict, rl: Dict,
+                        logger: Logger, seed: int, env_name: str,
+                        env_kwargs: Dict, num_envs: int):
+    """On-policy (PPO) on host MuJoCo envs: host rollout segments,
+    TPU-jitted GAE + clipped-surrogate update (runtime/host_loop.py)."""
+    from ilswiss_tpu.runtime.host_loop import HostOnPolicyLoop
+
+    env = _make_host_env(variant, env_name, env_kwargs, num_envs, seed,
+                         logger)
+    loop = HostOnPolicyLoop(
+        env, algo,
+        rollout_length=int(p.get("rollout_length", 128)),
+        normalize_obs=bool(
+            _alg(variant, "env_specs").get("obs_norm", False)),
+    )
+    steps_per_epoch = int(rl.get("num_steps_per_epoch", 10_000))
+    num_epochs = int(rl.get("num_epochs", 100))
+    num_eval_episodes = max(
+        1, int(rl.get("num_steps_per_eval", 10_000))
+        // int(rl.get("max_path_length", 1000)))
+    snap = SnapshotManager(
+        logger.log_dir, gap=int(rl.get("freq_saving", 10)),
+        save_best=bool(rl.get("save_best", True)))
+
+    runner = loop.init(seed=seed)
     for epoch in range(num_epochs):
         t0 = time.time()
         runner, metrics = loop.train_epoch(runner, steps_per_epoch)
@@ -182,6 +254,7 @@ def _run_off_policy(algo, vec, rl: Dict, logger: Logger, seed: int,
             min_steps_before_training=int(
                 rl.get("min_steps_before_training", 1000)),
             grad_steps_per_iter=_grad_steps_per_iter(rl, vec.num_envs),
+            no_terminal=bool(rl.get("no_terminal", False)),
         ),
     )
     steps_per_epoch = int(rl.get("num_steps_per_epoch", 10_000))
@@ -342,11 +415,17 @@ def run_ddpg(variant: Dict[str, Any]):
     from ilswiss_tpu.algorithms.ddpg import DDPG, DDPGConfig
 
     seed, env_name, env_kwargs, num_envs, rl, logger = _setup(variant, "ddpg")
-    vec = make_vec(env_name, num_envs=num_envs, **env_kwargs)
+    host = _is_host_env(env_name)
+    if host:
+        obs_size, action_size = _host_env_sizes(env_name, env_kwargs)
+    else:
+        vec = make_vec(env_name, num_envs=num_envs, **env_kwargs)
+        obs_size = vec.env.observation_size
+        action_size = vec.env.action_size
     p = _alg(variant, "ddpg_params")
     algo = DDPG(
-        obs_size=vec.env.observation_size,
-        action_size=vec.env.action_size,
+        obs_size=obs_size,
+        action_size=action_size,
         config=DDPGConfig(
             discount=float(p.get("discount", 0.99)),
             reward_scale=float(p.get("reward_scale", 1.0)),
@@ -357,6 +436,10 @@ def run_ddpg(variant: Dict[str, Any]):
         net_size=int(variant.get("net_size", 256)),
         num_hidden_layers=int(variant.get("num_hidden_layers", 2)),
     )
+    if host:
+        return _run_host_off_policy(
+            algo, variant, rl, logger, seed, env_name, env_kwargs,
+            num_envs)
     return _run_off_policy(algo, vec, rl, logger, seed)
 
 
@@ -411,11 +494,17 @@ def run_ppo(variant: Dict[str, Any]):
     from ilswiss_tpu.algorithms.ppo import PPO, PPOConfig
 
     seed, env_name, env_kwargs, num_envs, rl, logger = _setup(variant, "ppo")
-    vec = make_vec(env_name, num_envs=num_envs, **env_kwargs)
+    host = _is_host_env(env_name)
+    if host:
+        obs_size, action_size = _host_env_sizes(env_name, env_kwargs)
+    else:
+        vec = make_vec(env_name, num_envs=num_envs, **env_kwargs)
+        obs_size = vec.env.observation_size
+        action_size = vec.env.action_size
     p = _alg(variant, "ppo_params")
     algo = PPO(
-        obs_size=vec.env.observation_size,
-        action_size=vec.env.action_size,
+        obs_size=obs_size,
+        action_size=action_size,
         config=PPOConfig(
             discount=float(p.get("discount", 0.99)),
             reward_scale=float(p.get("reward_scale", 1.0)),
@@ -431,6 +520,9 @@ def run_ppo(variant: Dict[str, Any]):
         net_size=int(variant.get("net_size", 256)),
         num_hidden_layers=int(variant.get("num_hidden_layers", 2)),
     )
+    if host:
+        return _run_host_on_policy(algo, variant, p, rl, logger, seed,
+                                   env_name, env_kwargs, num_envs)
     loop = OnPolicyLoop(
         vec, algo,
         OnPolicyConfig(
@@ -671,22 +763,80 @@ def run_eval_policy(variant: Dict[str, Any]):
 
 
 def run_adv_irl(variant: Dict[str, Any]):
-    """GAIL/AIRL/FAIRL (reference run_scripts/adv_irl_exp_script.py)."""
+    """GAIL/AIRL/FAIRL (reference run_scripts/adv_irl_exp_script.py),
+    with demo-stats env scaling (scale_env_with_demo_stats /
+    minmax_env_with_demo_stats, :86-115), DAC absorbing states
+    (wrap_absorbing) and no_terminal storage — on host MuJoCo envs or
+    device envs."""
     from ilswiss_tpu.algorithms.adv_irl import AdvIRL, AdvIRLConfig
     from ilswiss_tpu.algorithms.sac import SAC, SACConfig
-    from ilswiss_tpu.data.demo import load_demos_npz, subsample_trajs
+    from ilswiss_tpu.data.demo import (
+        demo_obs_stats, load_demos_npz, minmax_demos, scale_demos,
+        subsample_trajs, wrap_absorbing_demos,
+    )
 
     seed, env_name, env_kwargs, num_envs, rl, logger = _setup(
         variant, "adv_irl")
-    vec = make_vec(env_name, num_envs=num_envs, **env_kwargs)
+    p = _alg(variant, "adv_irl_params")
+    # the reference nests the loop schedule inside adv_irl_params
+    # (exp_specs/gail/*.yaml) — accept either layout
+    for k, v in p.items():
+        if not isinstance(v, dict):
+            rl.setdefault(k, v)
+    host = _is_host_env(env_name)
+    wrap_absorbing = bool(p.get("wrap_absorbing", False))
+
     demos = load_demos_npz(_resolve_demo_path(variant))
     if variant.get("traj_num"):
         demos = subsample_trajs(demos, int(variant["traj_num"]))
+    demo_stats = None
+    if bool(variant.get("scale_env_with_demo_stats", False)):
+        demo_stats = demo_obs_stats(demos)
+        demos = scale_demos(
+            demos, demo_stats["obs_mean"], demo_stats["obs_std"])
+    elif bool(variant.get("minmax_env_with_demo_stats", False)):
+        demo_stats = dict(demo_obs_stats(demos), minmax=True)
+        demos = minmax_demos(
+            demos, demo_stats["obs_min"], demo_stats["obs_max"])
+    if wrap_absorbing:
+        demos = wrap_absorbing_demos(demos)
+
+    if host:
+        obs_size, action_size = _host_env_sizes(env_name, env_kwargs)
+        if wrap_absorbing:
+            obs_size += 1
+        # one train_call per steps_between_train_calls-step segment:
+        # the reference cadence, no rescaling needed
+        update_loops = int(p.get("num_update_loops_per_train_call", 1))
+    else:
+        from ilswiss_tpu.envs import make
+        from ilswiss_tpu.envs.vector import VectorEnv
+        from ilswiss_tpu.envs.wrappers import (
+            AbsorbingEnv, MinmaxEnv, ScaledEnv,
+        )
+        env = make(env_name, **env_kwargs)
+        if demo_stats is not None:
+            if demo_stats.get("minmax"):
+                env = MinmaxEnv(env, demo_stats["obs_min"],
+                                demo_stats["obs_max"])
+            else:
+                env = ScaledEnv(env, obs_mean=demo_stats["obs_mean"],
+                                obs_std=demo_stats["obs_std"])
+        if wrap_absorbing:
+            env = AbsorbingEnv(env)
+        vec = VectorEnv(env, num_envs)
+        obs_size, action_size = env.observation_size, env.action_size
+        # device loop: one train_call per iteration (= num_envs env
+        # steps); rescale the update-loop count to keep the reference's
+        # updates-per-env-step ratio
+        update_loops = max(1, round(
+            num_envs * int(p.get("num_update_loops_per_train_call", 1))
+            / max(1, int(rl.get("num_steps_between_train_calls", 1000)))))
 
     sp = _alg(variant, "sac_params")
     sac = SAC(
-        obs_size=vec.env.observation_size,
-        action_size=vec.env.action_size,
+        obs_size=obs_size,
+        action_size=action_size,
         config=SACConfig(
             discount=float(sp.get("discount", 0.99)),
             reward_scale=float(sp.get("reward_scale", 2.0)),
@@ -697,17 +847,17 @@ def run_adv_irl(variant: Dict[str, Any]):
         net_size=int(variant.get("policy_net_size", 256)),
         num_hidden_layers=int(variant.get("policy_num_hidden_layers", 2)),
     )
-    p = _alg(variant, "adv_irl_params")
     algo = AdvIRL(
-        vec.env.observation_size, vec.env.action_size, sac, demos,
+        obs_size, action_size, sac, demos,
         AdvIRLConfig(
             mode=str(p.get("mode", "gail")),
             state_only=bool(p.get("state_only", False)),
             disc_optim_batch_size=int(p.get("disc_optim_batch_size", 1024)),
             policy_optim_batch_size=int(
                 p.get("policy_optim_batch_size", 1024)),
-            num_update_loops_per_train_call=int(
-                p.get("num_update_loops_per_train_call", 1)),
+            policy_optim_batch_size_from_expert=int(
+                p.get("policy_optim_batch_size_from_expert", 0)),
+            num_update_loops_per_train_call=update_loops,
             num_disc_updates_per_loop_iter=int(
                 p.get("num_disc_updates_per_loop_iter", 1)),
             num_policy_updates_per_loop_iter=int(
@@ -726,6 +876,11 @@ def run_adv_irl(variant: Dict[str, Any]):
                 variant.get("disc_clamp_magnitude", 10.0)),
         ),
     )
+    if host:
+        return _run_host_off_policy(
+            algo, variant, rl, logger, seed, env_name, env_kwargs,
+            num_envs, demo_stats=demo_stats,
+            wrap_absorbing=wrap_absorbing)
     return _run_off_policy(algo, vec, rl, logger, seed)
 
 

@@ -38,6 +38,10 @@ class HostLoopConfig:
     steps_between_train_calls: int = 1000
     train_steps_per_call: int = 1000
     min_steps_before_training: int = 1000
+    # store terminal=0 for every transition (the reference's
+    # `no_terminal` flag, base_algorithm.py _handle_step: GAIL-family
+    # specs train the critic without bootstrapping cutoffs)
+    no_terminal: bool = False
 
 
 @struct.dataclass
@@ -71,7 +75,13 @@ class HostOffPolicyLoop:
             lambda s, o, k: algo.act(s, o, k, deterministic=True)
         )
 
-        # learner: ingest a [T, B] segment then K grad steps, one jit
+        # learner: ingest a [T, B] segment then K grad steps, one jit.
+        # Algorithms owning their update schedule (AdvIRL's nested
+        # disc/policy loop) expose `train_call(state, replay, key)` and
+        # get exactly one call per segment — the reference cadence of
+        # one _do_training per num_steps_between_train_calls env steps.
+        owns_schedule = hasattr(algo, "train_call")
+
         @partial(jax.jit, donate_argnums=0)
         def ingest_and_train(runner: HostRunnerState, segment
                              ) -> tuple[HostRunnerState, Dict]:
@@ -79,20 +89,24 @@ class HostOffPolicyLoop:
                 return replay_add(replay, tr), None
 
             replay, _ = jax.lax.scan(add_one, runner.replay, segment)
-
-            def grad_step(carry, key):
-                algo_state = carry
-                k_s, k_t = jax.random.split(key)
-                batch = replay_sample(replay, k_s, config.batch_size)
-                algo_state, metrics = algo.train_step(
-                    algo_state, batch, k_t)
-                return algo_state, metrics
-
             rng, k = jax.random.split(runner.rng)
-            algo_state, metrics = jax.lax.scan(
-                grad_step, runner.algo_state,
-                jax.random.split(k, config.train_steps_per_call),
-            )
+
+            if owns_schedule:
+                algo_state, metrics = algo.train_call(
+                    runner.algo_state, replay, k)
+            else:
+                def grad_step(carry, key):
+                    algo_state = carry
+                    k_s, k_t = jax.random.split(key)
+                    batch = replay_sample(replay, k_s, config.batch_size)
+                    algo_state, metrics = algo.train_step(
+                        algo_state, batch, k_t)
+                    return algo_state, metrics
+
+                algo_state, metrics = jax.lax.scan(
+                    grad_step, runner.algo_state,
+                    jax.random.split(k, config.train_steps_per_call),
+                )
             return HostRunnerState(
                 rng=rng, replay=replay, algo_state=algo_state,
                 total_env_steps=runner.total_env_steps,
@@ -156,12 +170,16 @@ class HostOffPolicyLoop:
                 rows.append((obs_prev, action, reward, true_next,
                              terminal, done))
         stack = lambda i: np.stack([r[i] for r in rows])
+        terminal = stack(4)
+        if self.config.no_terminal:
+            # store terminal=0 (the reference no_terminal flag)
+            terminal = np.zeros_like(terminal)
         return Transition(
             obs=jnp.asarray(stack(0)),
             action=jnp.asarray(stack(1)),
             reward=jnp.asarray(stack(2)),
             next_obs=jnp.asarray(stack(3)),
-            terminal=jnp.asarray(stack(4)),
+            terminal=jnp.asarray(terminal),
             done=jnp.asarray(stack(5)),
         )
 
@@ -228,6 +246,171 @@ class HostOffPolicyLoop:
         if eval_env is None:
             # training env was hijacked for eval: restore its obs stream
             self._obs = obs
+        returns = np.asarray(returns[:num_episodes])
+        return {
+            "AverageReturn": float(returns.mean()),
+            "MaxReturn": float(returns.max()),
+            "MinReturn": float(returns.min()),
+            "StdReturn": float(returns.std()),
+            "AvgPathLength": float(np.mean(lengths[:num_episodes])),
+        }
+
+
+@struct.dataclass
+class HostOnPolicyRunnerState:
+    rng: jax.Array
+    algo_state: Any
+    obs_rms: Any = None
+    total_env_steps: int = struct.field(pytree_node=False, default=0)
+
+
+class HostOnPolicyLoop:
+    """PPO-style rollout-consuming training on host envs: collect a
+    [T, B] segment on the host, hand the whole rollout to the jitted
+    `algo.train_step(state, rollout, key)` on the TPU (the device
+    OnPolicyLoop's contract, runtime/onpolicy.py).  Optional running
+    obs normalization mirrors the reference vec-env obs_rms
+    (rlkit/envs/vecenvs.py:102-107,299-327)."""
+
+    def __init__(self, env: GymVectorEnv, algo, rollout_length: int = 128,
+                 normalize_obs: bool = False, obs_clip: float = 10.0):
+        self.env = env
+        self.algo = algo
+        self.rollout_length = rollout_length
+        self.normalize_obs = normalize_obs
+        self.obs_clip = obs_clip
+        self.cpu = _cpu_device()
+        self._obs = None
+
+        self._act_cpu = jax.jit(lambda s, o, k: algo.act(s, o, k))
+        self._act_det_cpu = jax.jit(
+            lambda s, o, k: algo.act(s, o, k, deterministic=True))
+
+        @partial(jax.jit, donate_argnums=0)
+        def train_on_rollout(runner: HostOnPolicyRunnerState, rollout
+                             ) -> tuple[HostOnPolicyRunnerState, Dict]:
+            rng, k = jax.random.split(runner.rng)
+            obs_rms = runner.obs_rms
+            if obs_rms is not None:
+                from ilswiss_tpu.utils.running_stats import (
+                    normalize as _norm, running_mean_std_update,
+                )
+                obs_rms = running_mean_std_update(
+                    obs_rms,
+                    rollout["obs"].reshape(-1, rollout["obs"].shape[-1]))
+                rollout = dict(rollout)
+                rollout["obs"] = _norm(obs_rms, rollout["obs"],
+                                       self.obs_clip)
+                rollout["last_obs"] = _norm(obs_rms, rollout["last_obs"],
+                                            self.obs_clip)
+            algo_state, metrics = algo.train_step(
+                runner.algo_state, rollout, k)
+            metrics["rollout_reward_mean"] = jnp.mean(rollout["reward"])
+            return HostOnPolicyRunnerState(
+                rng=rng, algo_state=algo_state, obs_rms=obs_rms,
+                total_env_steps=runner.total_env_steps,
+            ), metrics
+
+        self._train_on_rollout = train_on_rollout
+
+    # ------------------------------------------------------------------
+    def init(self, seed: int = 0) -> HostOnPolicyRunnerState:
+        self._obs = self.env.reset(seed=seed)
+        key = jax.random.PRNGKey(seed)
+        _, k_algo = jax.random.split(key)
+        obs_rms = None
+        if self.normalize_obs:
+            from ilswiss_tpu.utils.running_stats import (
+                running_mean_std_init,
+            )
+            obs_rms = running_mean_std_init((self.env.observation_size,))
+        return HostOnPolicyRunnerState(
+            rng=key, algo_state=self.algo.init(k_algo), obs_rms=obs_rms,
+        )
+
+    def warmup(self, runner):
+        return runner  # on-policy: no warmup
+
+    def _maybe_norm_np(self, runner, obs: np.ndarray) -> np.ndarray:
+        if runner.obs_rms is None:
+            return obs
+        from ilswiss_tpu.utils.running_stats import normalize as _norm
+        return np.asarray(_norm(
+            jax.device_put(runner.obs_rms, self.cpu), obs, self.obs_clip))
+
+    def _collect_rollout(self, runner) -> Dict[str, jnp.ndarray]:
+        B = self.env.num_envs
+        rows = []
+        with jax.default_device(self.cpu):
+            state_cpu = jax.device_put(runner.algo_state, self.cpu)
+            rms_dev = (None if runner.obs_rms is None
+                       else jax.device_put(runner.obs_rms, self.cpu))
+            key = jax.random.fold_in(
+                jax.device_put(runner.rng, self.cpu),
+                runner.total_env_steps)
+            from ilswiss_tpu.utils.running_stats import normalize as _norm
+            for t in range(self.rollout_length):
+                key, k = jax.random.split(key)
+                pol_obs = (self._obs if rms_dev is None else np.asarray(
+                    _norm(rms_dev, self._obs, self.obs_clip)))
+                action = np.asarray(
+                    self._act_cpu(state_cpu, jnp.asarray(pol_obs), k))
+                obs_prev, true_next, reward, terminal, done, obs_after = (
+                    self.env.step(action))
+                self._obs = obs_after
+                rows.append((obs_prev, action, reward, terminal, done))
+        stack = lambda i: np.stack([r[i] for r in rows])
+        return {
+            "obs": jnp.asarray(stack(0)),
+            "action": jnp.asarray(stack(1)),
+            "reward": jnp.asarray(stack(2)),
+            "terminal": jnp.asarray(stack(3)),
+            "done": jnp.asarray(stack(4)),
+            "last_obs": jnp.asarray(self._obs),
+        }
+
+    def train_epoch(self, runner, steps_per_epoch: int):
+        B = self.env.num_envs
+        n_iters = max(1, steps_per_epoch // (self.rollout_length * B))
+        all_metrics = []
+        for _ in range(n_iters):
+            rollout = self._collect_rollout(runner)
+            runner, metrics = self._train_on_rollout(runner, rollout)
+            runner = runner.replace(
+                total_env_steps=runner.total_env_steps
+                + self.rollout_length * B)
+            all_metrics.append(jax.device_get(metrics))
+        return runner, {
+            k: float(np.mean([m[k] for m in all_metrics]))
+            for k in all_metrics[0]
+        }
+
+    def evaluate(self, runner, num_episodes: int, seed: int = 0,
+                 eval_env: GymVectorEnv | None = None) -> Dict[str, float]:
+        env = eval_env or self.env
+        B = env.num_envs
+        returns, lengths = [], []
+        ep_ret = np.zeros(B)
+        ep_len = np.zeros(B)
+        with jax.default_device(self.cpu):
+            state_cpu = jax.device_put(runner.algo_state, self.cpu)
+            key = jax.random.PRNGKey(seed)
+            obs = env.reset(seed=seed + 10_000)
+            while len(returns) < num_episodes:
+                key, k = jax.random.split(key)
+                action = np.asarray(self._act_det_cpu(
+                    state_cpu,
+                    jnp.asarray(self._maybe_norm_np(runner, obs)), k))
+                _, _, reward, terminal, done, obs = env.step(action)
+                ep_ret += reward
+                ep_len += 1
+                for i in np.nonzero(done)[0]:
+                    returns.append(ep_ret[i])
+                    lengths.append(ep_len[i])
+                    ep_ret[i] = 0.0
+                    ep_len[i] = 0.0
+        if eval_env is None:
+            self._obs = env.reset(seed=seed + 20_000)
         returns = np.asarray(returns[:num_episodes])
         return {
             "AverageReturn": float(returns.mean()),

@@ -41,6 +41,9 @@ class OffPolicyConfig:
     replay_capacity: int = 1_000_000
     grad_steps_per_iter: int | None = None  # default: num_envs (ratio 1.0)
     min_steps_before_training: int = 1000
+    # store terminal=0 always (the reference `no_terminal` flag used by
+    # GAIL-family specs, base_algorithm.py _handle_vec_step)
+    no_terminal: bool = False
 
 
 @struct.dataclass
@@ -113,6 +116,8 @@ class OffPolicyLoop:
         else:
             action = self.algo.act(runner.algo_state, obs, k_act)
         env_state, tr = self.vec_env.step(runner.env_state, action)
+        if self.config.no_terminal:
+            tr = tr.replace(terminal=jnp.zeros_like(tr.terminal))
         replay = replay_add(runner.replay, tr)
         return RunnerState(
             rng=rng,

@@ -1,0 +1,160 @@
+"""Host-env loops beyond plain off-policy: on-policy (PPO), AdvIRL
+train_call dispatch, and the host-side demo-stats / absorbing wrappers
+(reference adv_irl_exp_script.py + ppo_exp_script.py on MuJoCo envs)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ilswiss_tpu.algorithms.adv_irl import AdvIRL, AdvIRLConfig
+from ilswiss_tpu.algorithms.ppo import PPO, PPOConfig
+from ilswiss_tpu.algorithms.sac import SAC, SACConfig
+from ilswiss_tpu.data.demo import (
+    demo_obs_stats, demos_to_replay_state, scale_demos,
+)
+from ilswiss_tpu.envs.host_mujoco import (
+    AbsorbingHostEnv, GymVectorEnv, MinmaxHostEnv, ScaledHostEnv,
+)
+from ilswiss_tpu.runtime.host_loop import (
+    HostLoopConfig, HostOffPolicyLoop, HostOnPolicyLoop,
+)
+
+
+@pytest.fixture(scope="module")
+def hopper_vec():
+    env = GymVectorEnv("hopper", num_envs=4, seed=0)
+    yield env
+    env.close()
+
+
+def _random_demos(obs_size=11, action_size=3, n=256):
+    rng = np.random.RandomState(0)
+    terminal = np.zeros(n)
+    terminal[63] = 1.0  # one episode boundary
+    return demos_to_replay_state(
+        rng.randn(n, obs_size).astype(np.float32),
+        rng.uniform(-1, 1, (n, action_size)).astype(np.float32),
+        rng.randn(n).astype(np.float32),
+        rng.randn(n, obs_size).astype(np.float32),
+        terminal,
+    )
+
+
+# ---------------------------------------------------------------------
+def test_host_on_policy_ppo_trains(hopper_vec):
+    ppo = PPO(11, 3, PPOConfig(mini_batch_size=32, update_epoch=2),
+              net_size=32, num_hidden_layers=1)
+    loop = HostOnPolicyLoop(hopper_vec, ppo, rollout_length=16)
+    runner = loop.init(seed=0)
+    runner, metrics = loop.train_epoch(runner, steps_per_epoch=128)
+    assert np.isfinite(metrics["pg_loss"])
+    assert np.isfinite(metrics["vf_loss"])
+    assert runner.total_env_steps >= 128
+    stats = loop.evaluate(runner, num_episodes=2)
+    assert np.isfinite(stats["AverageReturn"])
+
+
+def test_host_on_policy_obs_norm(hopper_vec):
+    ppo = PPO(11, 3, PPOConfig(mini_batch_size=32, update_epoch=1),
+              net_size=32, num_hidden_layers=1)
+    loop = HostOnPolicyLoop(hopper_vec, ppo, rollout_length=8,
+                            normalize_obs=True)
+    runner = loop.init(seed=0)
+    runner, metrics = loop.train_epoch(runner, steps_per_epoch=64)
+    assert np.isfinite(metrics["pg_loss"])
+    # running moments absorbed the rollout
+    assert float(runner.obs_rms.count) > 1.0
+
+
+def test_host_adv_irl_train_call(hopper_vec):
+    demos = _random_demos()
+    sac = SAC(11, 3, SACConfig(), net_size=32, num_hidden_layers=1)
+    algo = AdvIRL(11, 3, sac, demos, AdvIRLConfig(
+        mode="gail", disc_optim_batch_size=32,
+        policy_optim_batch_size=32, disc_hid_dim=32,
+        disc_use_bn=False))
+    loop = HostOffPolicyLoop(hopper_vec, algo, HostLoopConfig(
+        batch_size=32, replay_capacity=4096,
+        steps_between_train_calls=64, min_steps_before_training=64,
+        no_terminal=True))
+    runner = loop.init(seed=0)
+    runner = loop.warmup(runner)
+    # no_terminal: everything stored with terminal=0
+    assert float(jnp.max(runner.replay.data["terminal"])) == 0.0
+    runner, metrics = loop.train_epoch(runner, steps_per_epoch=128)
+    assert np.isfinite(metrics["disc_ce_loss"])
+    assert np.isfinite(metrics["disc_rew_mean"])
+    assert 0.0 <= metrics["disc_acc"] <= 1.0
+
+
+# ---------------------------------------------------------------------
+def test_scaled_host_env_round_trip():
+    inner = GymVectorEnv("hopper", num_envs=2, seed=0)
+    mean = np.arange(11, dtype=np.float32) * 0.1
+    std = np.ones(11, np.float32) * 2.0
+    env = ScaledHostEnv(inner, mean, std)
+    raw = inner.reset(seed=0)
+    scaled = env.reset(seed=0)
+    np.testing.assert_allclose(scaled, (raw - mean) / (std + 1e-8),
+                               rtol=1e-5)
+    env.close()
+
+
+def test_minmax_host_env():
+    inner = GymVectorEnv("hopper", num_envs=2, seed=0)
+    lo = -np.ones(11, np.float32)
+    hi = np.ones(11, np.float32)
+    env = MinmaxHostEnv(inner, lo, hi)
+    raw = inner.reset(seed=0)
+    scaled = env.reset(seed=0)
+    np.testing.assert_allclose(scaled, (raw - lo) / (hi - lo + 1e-8),
+                               rtol=1e-5)
+    env.close()
+
+
+def test_absorbing_host_env_flow():
+    inner = GymVectorEnv("hopper", num_envs=2, seed=0,
+                         max_episode_steps=400)
+    env = AbsorbingHostEnv(inner)
+    assert env.observation_size == 12
+    obs = env.reset(seed=0)
+    assert obs.shape == (2, 12)
+    np.testing.assert_allclose(obs[:, -1], 0.0)
+
+    rng = np.random.RandomState(0)
+    entered = False
+    for _ in range(300):
+        act = rng.uniform(-1, 1, (2, 3)).astype(np.float32)
+        obs_prev, true_next, reward, terminal, done, obs_after = (
+            env.step(act))
+        if entered:
+            # previous step entered absorbing: this is the self-loop row
+            i = idx
+            assert obs_prev[i, -1] == 1.0
+            np.testing.assert_allclose(obs_prev[i, :-1], 0.0)
+            assert reward[i] == 0.0
+            assert terminal[i] and done[i]
+            # stream rejoins a live obs
+            assert obs_after[i, -1] == 0.0
+            break
+        hit = np.logical_and(true_next[:, -1] > 0.5, ~done)
+        if hit.any():
+            entered = True
+            idx = int(np.nonzero(hit)[0][0])
+            # entering absorbing: not an episode end yet, next obs is
+            # the absorbing state
+            assert not terminal[idx]
+            assert obs_after[idx, -1] == 1.0
+    env.close()
+    assert entered, "no termination observed in 300 steps"
+
+
+def test_demo_scaling_matches_stats():
+    demos = _random_demos()
+    stats = demo_obs_stats(demos)
+    scaled = scale_demos(demos, stats["obs_mean"], stats["obs_std"])
+    obs = np.asarray(scaled.data["obs"])
+    np.testing.assert_allclose(obs.mean(axis=0), 0.0, atol=1e-5)
+    np.testing.assert_allclose(obs.std(axis=0), 1.0, atol=1e-4)
