@@ -73,22 +73,34 @@ class MBPO:
     """Host-orchestrated loop with jitted phases.  `policy_trainer` is
     the inner model-free trainer (SAC in the reference, mbpo.py:26)."""
 
-    def __init__(self, vec_env: VectorEnv, policy_trainer,
+    def __init__(self, vec_env: VectorEnv | None, policy_trainer,
                  terminal_fn: Callable,
                  config: MBPOConfig = MBPOConfig(),
-                 bnn_config: BNNTrainerConfig = BNNTrainerConfig()):
+                 bnn_config: BNNTrainerConfig = BNNTrainerConfig(),
+                 obs_size: int | None = None,
+                 action_size: int | None = None,
+                 num_envs: int | None = None):
+        """vec_env may be None for host-env runs (HostMBPOLoop drives
+        collection); pass obs_size/action_size/num_envs explicitly then."""
         self.vec_env = vec_env
         self.algo = policy_trainer
         self.terminal_fn = terminal_fn
         self.config = config
-        env = vec_env.env
-        self.bnn = BNNTrainer(
-            env.observation_size, env.action_size, bnn_config
-        )
+        if vec_env is not None:
+            obs_size = vec_env.env.observation_size
+            action_size = vec_env.env.action_size
+            num_envs = vec_env.num_envs
+            self.discrete = vec_env.env.discrete
+        else:
+            self.discrete = False
+        self.obs_size = obs_size
+        self.action_size = action_size
+        self.num_envs = num_envs
+        self.bnn = BNNTrainer(obs_size, action_size, bnn_config)
         self.grad_steps_per_iter = (
             config.grad_steps_per_iter
             if config.grad_steps_per_iter is not None
-            else vec_env.num_envs
+            else num_envs
         )
         # model-buffer capacity: schedule max (mbpo.py:207-232, without
         # the dynamic resize)
@@ -103,21 +115,21 @@ class MBPO:
 
     # ------------------------------------------------------------------
     def init(self, key: jax.Array) -> MBPORunnerState:
-        env = self.vec_env.env
         k_env, k_algo, k_bnn = jax.random.split(key, 3)
         return MBPORunnerState(
             rng=key,
-            env_state=self.vec_env.reset(k_env),
+            env_state=(None if self.vec_env is None
+                       else self.vec_env.reset(k_env)),
             replay=replay_init(
-                self.config.replay_capacity, env.observation_size,
-                env.action_size, write_batch=self.vec_env.num_envs,
-                discrete=env.discrete,
+                self.config.replay_capacity, self.obs_size,
+                self.action_size, write_batch=self.num_envs,
+                discrete=self.discrete,
             ),
             model_replay=replay_init(
-                self.model_capacity, env.observation_size,
-                env.action_size,
+                self.model_capacity, self.obs_size,
+                self.action_size,
                 write_batch=self.config.rollout_batch_size,
-                discrete=env.discrete,
+                discrete=self.discrete,
             ),
             algo_state=self.algo.init(k_algo),
             bnn_state=self.bnn.init(k_bnn),
@@ -319,3 +331,119 @@ class MBPO:
         return self.algo.act(
             runner_algo_state, obs, key, deterministic=deterministic
         )
+
+
+class HostMBPOLoop:
+    """MBPO on host-simulated (MuJoCo) envs: real-env segments stepped
+    on host threads between model phases; BNN fitting, branched model
+    rollouts, and mixed-batch policy updates run jitted on device.
+    Collection/eval machinery is shared with HostOffPolicyLoop
+    (runtime/host_loop.py); the reference equivalent is
+    mbpo_exp_script.py + MBPO.start_training (mbpo.py:71-149)."""
+
+    def __init__(self, env, mbpo: MBPO,
+                 grad_steps_per_env_step: float = 20.0,
+                 no_terminal: bool = False):
+        # borrow the host actor plumbing (_collect_segment / evaluate)
+        from ilswiss_tpu.runtime.host_loop import (
+            HostLoopConfig, HostOffPolicyLoop, _cpu_device,
+        )
+        self.env = env
+        self.mbpo = mbpo
+        self.algo = mbpo.algo
+        self.config = HostLoopConfig(no_terminal=no_terminal)
+        self.cpu = _cpu_device()
+        self._obs = None
+        self._act_cpu = jax.jit(lambda s, o, k: self.algo.act(s, o, k))
+        self._act_det_cpu = jax.jit(
+            lambda s, o, k: self.algo.act(s, o, k, deterministic=True))
+        self._collect_segment = partial(
+            HostOffPolicyLoop._collect_segment, self)
+        self.evaluate = partial(HostOffPolicyLoop.evaluate, self)
+        self.grad_steps_per_segment = max(1, int(
+            mbpo.config.model_train_freq * grad_steps_per_env_step))
+
+        @partial(jax.jit, donate_argnums=0)
+        def ingest_and_train(runner: MBPORunnerState, segment
+                             ) -> Tuple[MBPORunnerState, Dict]:
+            def add_one(replay, tr):
+                return replay_add(replay, tr), None
+
+            replay, _ = jax.lax.scan(add_one, runner.replay, segment)
+            rng, k = jax.random.split(runner.rng)
+            runner = runner.replace(replay=replay, rng=rng)
+
+            def grad_step(algo_state, key):
+                k_b, k_t = jax.random.split(key)
+                batch = mbpo._mixed_batch(runner, k_b)
+                algo_state, metrics = mbpo.algo.train_step(
+                    algo_state, batch, k_t)
+                return algo_state, metrics
+
+            algo_state, metrics = jax.lax.scan(
+                grad_step, runner.algo_state,
+                jax.random.split(k, self.grad_steps_per_segment))
+            return runner.replace(algo_state=algo_state), jax.tree.map(
+                jnp.mean, metrics)
+
+        @partial(jax.jit, donate_argnums=0)
+        def ingest_only(runner: MBPORunnerState, segment):
+            def add_one(replay, tr):
+                return replay_add(replay, tr), None
+            replay, _ = jax.lax.scan(add_one, runner.replay, segment)
+            return runner.replace(replay=replay)
+
+        self._ingest_and_train = ingest_and_train
+        self._ingest_only = ingest_only
+
+    # ------------------------------------------------------------------
+    def init(self, seed: int = 0) -> MBPORunnerState:
+        self._obs = self.env.reset(seed=seed)
+        return self.mbpo.init(jax.random.PRNGKey(seed))
+
+    def warmup(self, runner: MBPORunnerState) -> MBPORunnerState:
+        seg = self._collect_segment(
+            runner, self.mbpo.config.min_steps_before_training,
+            random_actions=True)
+        runner = self._ingest_only(runner, seg)
+        return runner.replace(
+            total_env_steps=runner.total_env_steps
+            + seg.reward.shape[0] * seg.reward.shape[1])
+
+    def train_epoch(self, runner: MBPORunnerState, epoch: int,
+                    steps_per_epoch: int, log=None
+                    ) -> Tuple[MBPORunnerState, Dict[str, float]]:
+        cfg = self.mbpo.config
+        num_segments = max(1, steps_per_epoch // cfg.model_train_freq)
+        all_metrics = []
+        bnn_stats = {}
+        for seg in range(num_segments):
+            if cfg.real_ratio < 1.0:
+                k_model, k_roll = jax.random.split(
+                    jax.random.fold_in(runner.rng, seg))
+                size = int(jax.device_get(runner.replay.size))
+                data = {k: v[:size] for k, v in runner.replay.data.items()}
+                bnn_state, bnn_stats = self.mbpo.bnn.train(
+                    runner.bnn_state, data, k_model, log=log)
+                runner = runner.replace(bnn_state=bnn_state)
+                length = self.mbpo.rollout_length(epoch)
+                model_replay = self.mbpo._rollout_model(
+                    runner, k_roll, length)
+                runner = runner.replace(model_replay=model_replay)
+                if log:
+                    log(f"MBPO seg {seg}: rollout_len={length} "
+                        f"model_pool={int(runner.model_replay.size)}")
+            segment = self._collect_segment(
+                runner, cfg.model_train_freq, random_actions=False)
+            steps = int(segment.reward.shape[0] * segment.reward.shape[1])
+            runner, metrics = self._ingest_and_train(runner, segment)
+            runner = runner.replace(
+                total_env_steps=runner.total_env_steps + steps)
+            all_metrics.append(jax.device_get(metrics))
+        agg = {
+            k: float(np.mean([m[k] for m in all_metrics]))
+            for k in all_metrics[0]
+        }
+        agg.update({k: float(v) for k, v in bnn_stats.items()})
+        agg["mean_rollout_length"] = float(self.mbpo.rollout_length(epoch))
+        return runner, agg

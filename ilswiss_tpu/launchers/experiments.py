@@ -1125,10 +1125,23 @@ def run_mbpo(variant: Dict[str, Any]):
 
     seed, env_name, env_kwargs, num_envs, rl, logger = _setup(
         variant, "mbpo")
-    vec = make_vec(env_name, num_envs=num_envs, **env_kwargs)
+    mp = _alg(variant, "mbpo_params")
+    # the reference nests the loop schedule inside mbpo_params
+    # (exp_specs/mbpo/*.yaml) — accept either layout
+    for k, v in mp.items():
+        if not isinstance(v, dict):
+            rl.setdefault(k, v)
+    host = _is_host_env(env_name)
+    if host:
+        obs_size, action_size = _host_env_sizes(env_name, env_kwargs)
+        vec = None
+    else:
+        vec = make_vec(env_name, num_envs=num_envs, **env_kwargs)
+        obs_size = vec.env.observation_size
+        action_size = vec.env.action_size
     sp = _alg(variant, "sac_params")
     sac = SAC(
-        vec.env.observation_size, vec.env.action_size,
+        obs_size, action_size,
         SACConfig(
             discount=float(sp.get("discount", 0.99)),
             reward_scale=float(sp.get("reward_scale", 1.0)),
@@ -1136,11 +1149,11 @@ def run_mbpo(variant: Dict[str, Any]):
         net_size=int(variant.get("net_size", 256)),
         num_hidden_layers=int(variant.get("num_hidden_layers", 2)),
     )
-    mp = _alg(variant, "mbpo_params")
     bp = _alg(variant, "bnn_params")
     mbpo = MBPO(
         vec, sac, get_terminal_func(env_name),
-        MBPOConfig(
+        obs_size=obs_size, action_size=action_size, num_envs=num_envs,
+        config=MBPOConfig(
             model_train_freq=int(mp.get("model_train_freq", 250)),
             rollout_batch_size=int(mp.get("rollout_batch_size", 100_000)),
             real_ratio=float(mp.get("real_ratio", 0.1)),
@@ -1153,7 +1166,7 @@ def run_mbpo(variant: Dict[str, Any]):
                 rl.get("min_steps_before_training", 5000)),
             max_path_length=int(rl.get("max_path_length", 1000)),
         ),
-        BNNTrainerConfig(
+        bnn_config=BNNTrainerConfig(
             num_nets=int(bp.get("num_nets", 7)),
             num_elites=int(bp.get("num_elites", 5)),
             hidden_sizes=tuple(bp.get("hidden_sizes", (200,) * 4)),
@@ -1164,12 +1177,45 @@ def run_mbpo(variant: Dict[str, Any]):
     )
     steps_per_epoch = int(rl.get("num_steps_per_epoch", 1000))
     num_epochs = int(rl.get("num_epochs", 100))
+    snap = SnapshotManager(logger.log_dir,
+                           gap=int(rl.get("freq_saving", 10)))
+
+    if host:
+        from ilswiss_tpu.algorithms.mbpo import HostMBPOLoop
+        env = _make_host_env(variant, env_name, env_kwargs, num_envs,
+                             seed, logger)
+        grad_per_step = (
+            int(rl.get("num_train_steps_per_train_call", 20))
+            / max(1, int(rl.get("num_steps_between_train_calls", 1))))
+        loop = HostMBPOLoop(env, mbpo,
+                            grad_steps_per_env_step=grad_per_step,
+                            no_terminal=bool(rl.get("no_terminal", False)))
+        num_eval_episodes = max(
+            1, int(rl.get("num_steps_per_eval", 5000))
+            // int(rl.get("max_path_length", 1000)))
+        runner = loop.warmup(loop.init(seed=seed))
+        for epoch in range(num_epochs):
+            t0 = time.time()
+            runner, metrics = loop.train_epoch(
+                runner, epoch, steps_per_epoch, log=logger.log)
+            eval_stats = loop.evaluate(
+                runner, num_eval_episodes, seed=seed + epoch + 1)
+            logger.record_dict(metrics, prefix="trainer/")
+            logger.record_dict(eval_stats)
+            logger.record_tabular(
+                "TotalEnvSteps", int(jax.device_get(
+                    runner.total_env_steps)))
+            logger.record_tabular("TrainTime", time.time() - t0)
+            logger.dump_tabular(epoch)
+            snap.on_epoch(epoch, runner, eval_stats)
+        env.close()
+        logger.close()
+        return runner
+
     evaluator = make_evaluator(
         vec, lambda s, o, k: sac.act(s, o, k, deterministic=True),
         int(rl.get("max_path_length", 1000)),
     )
-    snap = SnapshotManager(logger.log_dir,
-                           gap=int(rl.get("freq_saving", 10)))
     runner = mbpo.init(jax.random.PRNGKey(seed))
     runner = mbpo.warmup(runner)
     for epoch in range(num_epochs):

@@ -89,6 +89,37 @@ def test_host_adv_irl_train_call(hopper_vec):
     assert 0.0 <= metrics["disc_acc"] <= 1.0
 
 
+def test_host_mbpo_trains(hopper_vec):
+    from ilswiss_tpu.algorithms.bnn_trainer import BNNTrainerConfig
+    from ilswiss_tpu.algorithms.mbpo import (
+        HostMBPOLoop, MBPO, MBPOConfig,
+    )
+    from ilswiss_tpu.envs.terminals import get_terminal_func
+
+    sac = SAC(11, 3, SACConfig(), net_size=32, num_hidden_layers=1)
+    mbpo = MBPO(
+        None, sac, get_terminal_func("hopper"),
+        obs_size=11, action_size=3, num_envs=4,
+        config=MBPOConfig(
+            model_train_freq=32, rollout_batch_size=64,
+            real_ratio=0.1, rollout_schedule=(0, 1, 1, 2),
+            batch_size=32, replay_capacity=4096,
+            min_steps_before_training=64, max_path_length=100),
+        bnn_config=BNNTrainerConfig(
+            num_nets=3, num_elites=2, hidden_sizes=(32,),
+            batch_size=32, max_epochs=2, holdout_ratio=0.2),
+    )
+    loop = HostMBPOLoop(hopper_vec, mbpo, grad_steps_per_env_step=0.5)
+    runner = loop.warmup(loop.init(seed=0))
+    runner, metrics = loop.train_epoch(runner, epoch=5,
+                                       steps_per_epoch=64)
+    assert np.isfinite(metrics["qf1_loss"])
+    assert int(jax.device_get(runner.model_replay.size)) > 0
+    assert int(jax.device_get(runner.total_env_steps)) >= 96
+    stats = loop.evaluate(runner, num_episodes=2)
+    assert np.isfinite(stats["AverageReturn"])
+
+
 # ---------------------------------------------------------------------
 def test_scaled_host_env_round_trip():
     inner = GymVectorEnv("hopper", num_envs=2, seed=0)
