@@ -140,6 +140,142 @@ class GymVectorEnv:
             self._pool.shutdown()
 
 
+class HostGoalVectorEnv:
+    """B lockstep dict-obs goal envs (gymnasium-robotics Fetch family)
+    with immediate autoreset — the host backend for HER (reference
+    her_*_exp_script.py on FetchPush/PickAndPlace/Slide/Reach).
+
+    Obs are dicts {observation, achieved_goal, desired_goal} of [B, ...]
+    arrays; `compute_reward` mirrors the env's sparse/dense goal reward
+    as a pure jax function so hindsight relabeling (data/her.py) can
+    recompute rewards on device (reference
+    relabel_replay_buffer.py:137-142 calls env.compute_reward)."""
+
+    def __init__(self, env_name: str, num_envs: int, seed: int = 0,
+                 max_episode_steps: int | None = None,
+                 env_kwargs: dict | None = None, num_threads: int = 8):
+        import gymnasium as gym
+        try:  # registers the Fetch/Hand ids
+            import gymnasium_robotics  # noqa: F401
+        except ImportError:
+            pass
+
+        gym_id = GYM_ENV_IDS.get(env_name, env_name)
+        kwargs = dict(env_kwargs or {})
+        if max_episode_steps is not None:
+            kwargs["max_episode_steps"] = max_episode_steps
+        self.envs = [gym.make(gym_id, **kwargs) for _ in range(num_envs)]
+        self.num_envs = num_envs
+        self.name = env_name
+
+        space = self.envs[0].observation_space
+        aspace = self.envs[0].action_space
+        self.observation_size = int(np.prod(space["observation"].shape))
+        self.goal_size = int(np.prod(space["desired_goal"].shape))
+        self.action_size = int(np.prod(aspace.shape))
+        self.discrete = False
+        self.action_low = np.asarray(aspace.low, np.float32)
+        self.action_high = np.asarray(aspace.high, np.float32)
+        self.max_episode_steps = (
+            max_episode_steps
+            or getattr(self.envs[0].spec, "max_episode_steps", None)
+            or 50
+        )
+        u = self.envs[0].unwrapped
+        self.distance_threshold = float(
+            getattr(u, "distance_threshold", 0.05))
+        self.reward_type = str(getattr(u, "reward_type", "sparse"))
+        self._rng = np.random.RandomState(seed)
+        self._seeds = [int(self._rng.randint(2**31)) for _ in self.envs]
+        self._pool = (
+            ThreadPoolExecutor(max_workers=min(num_threads, num_envs))
+            if num_envs > 1 else None
+        )
+        self._obs = self._zeros_obs()
+
+    def _zeros_obs(self):
+        return {
+            "observation": np.zeros(
+                (self.num_envs, self.observation_size), np.float32),
+            "achieved_goal": np.zeros(
+                (self.num_envs, self.goal_size), np.float32),
+            "desired_goal": np.zeros(
+                (self.num_envs, self.goal_size), np.float32),
+        }
+
+    @staticmethod
+    def _flat(obs_dict):
+        return {k: np.asarray(v, np.float32).ravel()
+                for k, v in obs_dict.items()}
+
+    def compute_reward(self, achieved_goal, desired_goal):
+        """Pure (jax-traceable) goal reward — Fetch semantics
+        (gymnasium_robotics fetch_env.compute_reward)."""
+        import jax.numpy as jnp
+        d = jnp.linalg.norm(achieved_goal - desired_goal, axis=-1)
+        if self.reward_type == "sparse":
+            return -(d > self.distance_threshold).astype(jnp.float32)
+        return -d
+
+    # ------------------------------------------------------------------
+    def reset(self, seed: int | None = None):
+        if seed is not None:
+            self._rng = np.random.RandomState(seed)
+            self._seeds = [int(self._rng.randint(2**31)) for _ in self.envs]
+        for i, env in enumerate(self.envs):
+            obs, _ = env.reset(seed=self._seeds[i])
+            flat = self._flat(obs)
+            for k in self._obs:
+                self._obs[k][i] = flat[k]
+        return {k: v.copy() for k, v in self._obs.items()}
+
+    def _scale(self, normalized: np.ndarray) -> np.ndarray:
+        a = self.action_low + (normalized + 1.0) * 0.5 * (
+            self.action_high - self.action_low)
+        return np.clip(a, self.action_low, self.action_high)
+
+    def _step_one(self, i: int, action: np.ndarray):
+        env = self.envs[i]
+        obs, reward, terminated, truncated, info = env.step(action)
+        done = terminated or truncated
+        true_next = self._flat(obs)
+        success = float(info.get("is_success", 0.0))
+        if done:
+            obs, _ = env.reset(seed=int(self._rng.randint(2**31)))
+            obs = self._flat(obs)
+        else:
+            obs = true_next
+        return (true_next, float(reward), bool(terminated), bool(done),
+                obs, success)
+
+    def step(self, normalized_actions: np.ndarray):
+        """Returns (obs_prev, true_next_obs, reward, terminal, done,
+        obs_after_reset, success) — obs entries are dicts of [B, ...]."""
+        actions = self._scale(np.asarray(normalized_actions, np.float32))
+        obs_prev = {k: v.copy() for k, v in self._obs.items()}
+        if self._pool is not None:
+            results = list(self._pool.map(
+                self._step_one, range(self.num_envs), actions))
+        else:
+            results = [self._step_one(0, actions[0])]
+        keys = ("observation", "achieved_goal", "desired_goal")
+        true_next = {k: np.stack([r[0][k] for r in results]) for k in keys}
+        reward = np.asarray([r[1] for r in results], np.float32)
+        terminal = np.asarray([r[2] for r in results], bool)
+        done = np.asarray([r[3] for r in results], bool)
+        for k in keys:
+            self._obs[k] = np.stack([r[4][k] for r in results])
+        success = np.asarray([r[5] for r in results], np.float32)
+        return (obs_prev, true_next, reward, terminal, done,
+                {k: v.copy() for k, v in self._obs.items()}, success)
+
+    def close(self) -> None:
+        for env in self.envs:
+            env.close()
+        if self._pool is not None:
+            self._pool.shutdown()
+
+
 class _DelegatingHostEnv:
     """Shares the GymVectorEnv step contract; wraps any host vec env."""
 

@@ -996,8 +996,19 @@ def run_her(variant: Dict[str, Any]):
 
     seed, env_name, env_kwargs, num_envs, rl, logger = _setup(
         variant, "her")
-    vec = make_vec(env_name, num_envs=num_envs, **env_kwargs)
-    env = vec.env
+    host = _is_host_env(env_name)
+    if host:
+        from ilswiss_tpu.envs.host_mujoco import HostGoalVectorEnv
+        kw = dict(env_kwargs)
+        max_path_length = kw.pop("max_episode_steps", None)
+        env = HostGoalVectorEnv(
+            env_name, num_envs=num_envs, seed=seed,
+            max_episode_steps=max_path_length, env_kwargs=kw)
+        action_size = env.action_size
+    else:
+        vec = make_vec(env_name, num_envs=num_envs, **env_kwargs)
+        env = vec.env
+        action_size = env.action_size
     inner_name = str(variant.get("inner_algo", "sac"))
     obs_size = env.observation_size + env.goal_size
     if inner_name == "td3":
@@ -1030,6 +1041,57 @@ def run_her(variant: Dict[str, Any]):
         )
     her = HER(inner)
     hp = _alg(variant, "her_params")
+    # reference HER specs keep relabel knobs in rl_alg_params
+    # (her_*_td3.yaml: relabel_type / her_ratio)
+    relabel_type = str(hp.get("relabel_type",
+                              rl.get("relabel_type", "future")))
+    her_ratio = float(hp.get("her_ratio", rl.get("her_ratio", 0.8)))
+    steps_per_epoch = int(rl.get("num_steps_per_epoch", 4000))
+    num_epochs = int(rl.get("num_epochs", 50))
+    snap = SnapshotManager(logger.log_dir,
+                           gap=int(rl.get("freq_saving", 10)))
+
+    if host:
+        from ilswiss_tpu.algorithms.her import HostHERLoop
+        segment_steps = max(env.max_episode_steps * num_envs,
+                            int(rl.get("num_steps_between_train_calls",
+                                       1000)))
+        grad_per_step = (
+            int(rl.get("num_train_steps_per_train_call", 1))
+            / max(1, int(rl.get("num_steps_between_train_calls", 2))))
+        loop = HostHERLoop(
+            env, her,
+            HERLoopConfig(
+                batch_size=int(rl.get("batch_size", 256)),
+                num_episode_slots=int(
+                    hp.get("num_episode_slots", 1024)),
+            ),
+            relabel_type=relabel_type, her_ratio=her_ratio,
+            grad_steps_per_segment=max(
+                1, int(segment_steps * grad_per_step)),
+            segment_steps=segment_steps,
+        )
+        num_eval_episodes = max(
+            1, int(rl.get("num_steps_per_eval", 1000))
+            // env.max_episode_steps)
+        runner = loop.warmup(
+            loop.init(seed=seed),
+            min_steps=int(rl.get("min_steps_before_training", 0)) or None)
+        for epoch in range(num_epochs):
+            t0 = time.time()
+            runner, metrics = loop.train_epoch(runner, steps_per_epoch)
+            eval_stats = loop.evaluate(
+                runner, num_eval_episodes, seed=seed + epoch + 1)
+            logger.record_dict(metrics, prefix="trainer/")
+            logger.record_dict(eval_stats)
+            logger.record_tabular("TotalEnvSteps", runner.total_env_steps)
+            logger.record_tabular("TrainTime", time.time() - t0)
+            logger.dump_tabular(epoch)
+            snap.on_epoch(epoch, runner, eval_stats)
+        env.close()
+        logger.close()
+        return runner
+
     loop = HERLoop(
         vec, her,
         HERLoopConfig(
@@ -1037,18 +1099,14 @@ def run_her(variant: Dict[str, Any]):
             num_episode_slots=int(hp.get("num_episode_slots", 1024)),
             grad_steps_per_iter=_grad_steps_per_iter(rl, num_envs),
         ),
-        relabel_type=str(hp.get("relabel_type", "future")),
-        her_ratio=float(hp.get("her_ratio", 0.8)),
+        relabel_type=relabel_type,
+        her_ratio=her_ratio,
     )
-    steps_per_epoch = int(rl.get("num_steps_per_epoch", 4000))
-    num_epochs = int(rl.get("num_epochs", 50))
     warmup, train_epoch = loop.build(steps_per_epoch)
     evaluator = make_evaluator(
         vec, lambda s, o, k: her.act(s, o, k, deterministic=True),
         env.max_episode_steps,
     )
-    snap = SnapshotManager(logger.log_dir,
-                           gap=int(rl.get("freq_saving", 10)))
     runner = warmup(loop.init(jax.random.PRNGKey(seed)))
     for epoch in range(num_epochs):
         t0 = time.time()

@@ -89,6 +89,50 @@ def test_host_adv_irl_train_call(hopper_vec):
     assert 0.0 <= metrics["disc_acc"] <= 1.0
 
 
+def test_host_her_fetch_trains():
+    from ilswiss_tpu.algorithms.her import (
+        HER, HERLoopConfig, HostHERLoop,
+    )
+    from ilswiss_tpu.algorithms.td3 import TD3, TD3Config
+    from ilswiss_tpu.envs.host_mujoco import HostGoalVectorEnv
+
+    env = HostGoalVectorEnv("fetch-reach", num_envs=2, seed=0,
+                            max_episode_steps=10)
+    assert env.goal_size == 3
+    inner = TD3(env.observation_size + env.goal_size, env.action_size,
+                TD3Config(q_target_min=-1.0 / (1.0 - 0.98),
+                          q_target_max=0.0),
+                net_size=32, num_hidden_layers=1)
+    her = HER(inner)
+    loop = HostHERLoop(env, her,
+                       HERLoopConfig(batch_size=16,
+                                     num_episode_slots=8),
+                       grad_steps_per_segment=4, segment_steps=40)
+    runner = loop.warmup(loop.init(seed=0))
+    runner, metrics = loop.train_epoch(runner, steps_per_epoch=40)
+    assert np.isfinite(metrics["qf1_loss"])
+    stats = loop.evaluate(runner, num_episodes=2)
+    assert "SuccessRate" in stats and 0.0 <= stats["SuccessRate"] <= 1.0
+    # sparse fetch reward is in {-1, 0}
+    r = np.asarray(runner.replay.data["reward"])
+    assert set(np.unique(r)).issubset({-1.0, 0.0})
+    env.close()
+
+
+def test_host_goal_env_compute_reward():
+    from ilswiss_tpu.envs.host_mujoco import HostGoalVectorEnv
+    env = HostGoalVectorEnv("fetch-reach", num_envs=1, seed=0,
+                            max_episode_steps=10)
+    ag = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, 0.04]])
+    dg = jnp.zeros((2, 3))
+    r = env.compute_reward(ag, dg)
+    np.testing.assert_allclose(np.asarray(r), [0.0, 0.0])  # within thr
+    far = jnp.asarray([[1.0, 0.0, 0.0]])
+    np.testing.assert_allclose(
+        np.asarray(env.compute_reward(far, jnp.zeros((1, 3)))), [-1.0])
+    env.close()
+
+
 def test_host_mbpo_trains(hopper_vec):
     from ilswiss_tpu.algorithms.bnn_trainer import BNNTrainerConfig
     from ilswiss_tpu.algorithms.mbpo import (
