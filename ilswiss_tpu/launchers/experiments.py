@@ -119,16 +119,25 @@ def _run_host_off_policy(algo, variant: Dict, rl: Dict, logger: Logger,
         logger.log_dir, gap=int(rl.get("freq_saving", 10)),
         save_best=bool(rl.get("save_best", True)))
 
+    from ilswiss_tpu.utils.profiling import TIMER, phase, trace
+
     runner = loop.init(seed=seed)
-    runner = loop.warmup(runner)
-    for epoch in range(num_epochs):
+    runner, start_epoch, resumed = _maybe_resume(variant, logger, runner)
+    if not resumed:
+        runner = loop.warmup(runner)
+    TIMER.reset()
+    profile_dir = variant.get("profile_dir")
+    for epoch in range(start_epoch, num_epochs):
         t0 = time.time()
-        runner, metrics = loop.train_epoch(runner, steps_per_epoch)
+        with trace(profile_dir if epoch == start_epoch + 1 else None):
+            runner, metrics = loop.train_epoch(runner, steps_per_epoch)
         train_time = time.time() - t0
-        eval_stats = loop.evaluate(
-            runner, num_eval_episodes, seed=seed + epoch + 1)
+        with phase("eval"):
+            eval_stats = loop.evaluate(
+                runner, num_eval_episodes, seed=seed + epoch + 1)
         logger.record_dict(metrics, prefix="trainer/")
         logger.record_dict(eval_stats)
+        logger.record_dict(TIMER.stamp())
         logger.record_tabular("TotalEnvSteps", runner.total_env_steps)
         logger.record_tabular("TrainTime", train_time)
         logger.record_tabular("EnvStepsPerSec",
@@ -244,8 +253,22 @@ def _grad_steps_per_iter(rl: Dict, num_envs: int) -> int:
     return max(1, round(num_envs * per_call / between))
 
 
+def _maybe_resume(variant: Dict | None, logger: Logger, runner):
+    """variant['load_params'] = checkpoint path (or a previous run's
+    log_dir) -> restored runner + start epoch (reference
+    sac_exp_script.py:91-93 / logger.load_from_file)."""
+    if not variant or not variant.get("load_params"):
+        return runner, 0, False
+    from ilswiss_tpu.runtime.checkpoint import restore_run
+    runner, start_epoch = restore_run(str(variant["load_params"]), runner)
+    logger.log(f"resumed from {variant['load_params']} "
+               f"at epoch {start_epoch}")
+    return runner, start_epoch, True
+
+
 def _run_off_policy(algo, vec, rl: Dict, logger: Logger, seed: int,
-                    eval_vec=None, deterministic_eval=True):
+                    eval_vec=None, deterministic_eval=True,
+                    variant: Dict | None = None):
     loop = OffPolicyLoop(
         vec, algo,
         OffPolicyConfig(
@@ -276,19 +299,27 @@ def _run_off_policy(algo, vec, rl: Dict, logger: Logger, seed: int,
     )
 
     runner = loop.init(jax.random.PRNGKey(seed))
-    runner = warmup(runner)
-    logger.log(f"warmup done: {int(runner.total_env_steps)} env steps")
+    runner, start_epoch, resumed = _maybe_resume(variant, logger, runner)
+    if not resumed:
+        runner = warmup(runner)
+        logger.log(f"warmup done: {int(runner.total_env_steps)} env steps")
 
-    for epoch in range(num_epochs):
+    from ilswiss_tpu.utils.profiling import phase, trace
+    profile_dir = (variant or {}).get("profile_dir")
+    for epoch in range(start_epoch, num_epochs):
         t0 = time.time()
-        runner, metrics = train_epoch(runner)
-        metrics = jax.device_get(metrics)
+        with trace(profile_dir if epoch == start_epoch + 1 else None), \
+                phase("train"):
+            runner, metrics = train_epoch(runner)
+            metrics = jax.device_get(metrics)
         train_time = time.time() - t0
 
         t0 = time.time()
-        eval_stats = jax.device_get(
-            evaluator(runner.algo_state, jax.random.PRNGKey(seed + epoch + 1))
-        )
+        with phase("eval"):
+            eval_stats = jax.device_get(
+                evaluator(runner.algo_state,
+                          jax.random.PRNGKey(seed + epoch + 1))
+            )
         eval_time = time.time() - t0
 
         logger.record_dict({k: float(v) for k, v in metrics.items()},
@@ -345,7 +376,7 @@ def run_sac(variant: Dict[str, Any]):
         return _run_host_off_policy(
             algo, variant, rl, logger, seed, env_name, env_kwargs,
             num_envs)
-    return _run_off_policy(algo, vec, rl, logger, seed)
+    return _run_off_policy(algo, vec, rl, logger, seed, variant=variant)
 
 
 def run_sac_v(variant: Dict[str, Any]):
@@ -370,7 +401,7 @@ def run_sac_v(variant: Dict[str, Any]):
         net_size=int(variant.get("net_size", 256)),
         num_hidden_layers=int(variant.get("num_hidden_layers", 2)),
     )
-    return _run_off_policy(algo, vec, rl, logger, seed)
+    return _run_off_policy(algo, vec, rl, logger, seed, variant=variant)
 
 
 def run_td3(variant: Dict[str, Any]):
@@ -408,7 +439,7 @@ def run_td3(variant: Dict[str, Any]):
         return _run_host_off_policy(
             algo, variant, rl, logger, seed, env_name, env_kwargs,
             num_envs)
-    return _run_off_policy(algo, vec, rl, logger, seed)
+    return _run_off_policy(algo, vec, rl, logger, seed, variant=variant)
 
 
 def run_ddpg(variant: Dict[str, Any]):
@@ -440,7 +471,7 @@ def run_ddpg(variant: Dict[str, Any]):
         return _run_host_off_policy(
             algo, variant, rl, logger, seed, env_name, env_kwargs,
             num_envs)
-    return _run_off_policy(algo, vec, rl, logger, seed)
+    return _run_off_policy(algo, vec, rl, logger, seed, variant=variant)
 
 
 def run_dqn(variant: Dict[str, Any]):
@@ -461,7 +492,7 @@ def run_dqn(variant: Dict[str, Any]):
         net_size=int(variant.get("net_size", 256)),
         num_hidden_layers=int(variant.get("num_hidden_layers", 2)),
     )
-    return _run_off_policy(algo, vec, rl, logger, seed)
+    return _run_off_policy(algo, vec, rl, logger, seed, variant=variant)
 
 
 def run_discrete_sac(variant: Dict[str, Any]):
@@ -487,7 +518,7 @@ def run_discrete_sac(variant: Dict[str, Any]):
         net_size=int(variant.get("net_size", 256)),
         num_hidden_layers=int(variant.get("num_hidden_layers", 2)),
     )
-    return _run_off_policy(algo, vec, rl, logger, seed)
+    return _run_off_policy(algo, vec, rl, logger, seed, variant=variant)
 
 
 def run_ppo(variant: Dict[str, Any]):
@@ -881,7 +912,7 @@ def run_adv_irl(variant: Dict[str, Any]):
             algo, variant, rl, logger, seed, env_name, env_kwargs,
             num_envs, demo_stats=demo_stats,
             wrap_absorbing=wrap_absorbing)
-    return _run_off_policy(algo, vec, rl, logger, seed)
+    return _run_off_policy(algo, vec, rl, logger, seed, variant=variant)
 
 
 def run_sac_ae(variant: Dict[str, Any]):

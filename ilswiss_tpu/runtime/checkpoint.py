@@ -14,6 +14,7 @@ checkpoints (base_algorithm.py:644-656).
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any
 
@@ -54,6 +55,10 @@ class SnapshotManager:
 
     def on_epoch(self, epoch: int, state: Any,
                  eval_stats: dict | None = None) -> None:
+        # resume metadata next to the snapshots (the reference's
+        # load_from_file returns the next epoch, logger.py:31-49)
+        with open(os.path.join(self.dir, "meta.json"), "w") as f:
+            json.dump({"epoch": epoch, "best_value": self.best_value}, f)
         if self.mode == "all":
             save_checkpoint(os.path.join(self.dir, f"epoch_{epoch}"), state)
         elif self.mode == "last":
@@ -76,3 +81,22 @@ class SnapshotManager:
             if v > self.best_value:
                 self.best_value = v
                 save_checkpoint(os.path.join(self.dir, "best"), state)
+
+
+def restore_run(path: str, template: Any) -> tuple[Any, int]:
+    """Resume a run: restore the runner pytree and return
+    (state, next_epoch).  `path` may be a checkpoint directory (e.g.
+    <log_dir>/checkpoints/last) or a run log_dir (resolves to its
+    checkpoints/last).  The reference equivalent is
+    logger.load_from_file (logger.py:31-49) wired through
+    variant['load_params'] (sac_exp_script.py:91-93)."""
+    path = _abs(path)
+    if os.path.isdir(os.path.join(path, "checkpoints", "last")):
+        path = os.path.join(path, "checkpoints", "last")
+    state = restore_checkpoint(path, template)
+    next_epoch = 0
+    meta_path = os.path.join(os.path.dirname(path), "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            next_epoch = int(json.load(f).get("epoch", -1)) + 1
+    return state, next_epoch

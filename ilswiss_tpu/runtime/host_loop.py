@@ -197,21 +197,26 @@ class HostOffPolicyLoop:
 
     def train_epoch(self, runner: HostRunnerState, steps_per_epoch: int
                     ) -> tuple[HostRunnerState, Dict[str, float]]:
+        from ilswiss_tpu.utils.profiling import phase
+
         n_calls = max(
             1, steps_per_epoch // self.config.steps_between_train_calls
         )
         all_metrics = []
         for _ in range(n_calls):
-            seg = self._collect_segment(
-                runner, self.config.steps_between_train_calls,
-                random_actions=False,
-            )
+            with phase("sample"):
+                seg = self._collect_segment(
+                    runner, self.config.steps_between_train_calls,
+                    random_actions=False,
+                )
             steps = int(seg.reward.shape[0] * seg.reward.shape[1])
-            runner, metrics = self._ingest_and_train(runner, seg)
+            with phase("train"):
+                runner, metrics = self._ingest_and_train(runner, seg)
+                metrics = jax.device_get(metrics)
             runner = runner.replace(
                 total_env_steps=runner.total_env_steps + steps
             )
-            all_metrics.append(jax.device_get(metrics))
+            all_metrics.append(metrics)
         return runner, {
             k: float(np.mean([m[k] for m in all_metrics]))
             for k in all_metrics[0]

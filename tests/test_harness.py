@@ -87,6 +87,24 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(a, b)
 
 
+def test_snapshot_resume_roundtrip(tmp_path):
+    """SnapshotManager 'last' + meta -> restore_run returns the state
+    and the next epoch (reference load_from_file semantics)."""
+    from ilswiss_tpu.algorithms.sac import SAC, SACConfig
+    from ilswiss_tpu.runtime.checkpoint import SnapshotManager, restore_run
+    sac = SAC(3, 1, SACConfig(), net_size=16, num_hidden_layers=1)
+    state = sac.init(jax.random.PRNGKey(0))
+    snap = SnapshotManager(str(tmp_path), mode="gap_and_last", gap=10)
+    snap.on_epoch(4, state, {"AverageReturn": 1.0})
+    template = sac.init(jax.random.PRNGKey(1))
+    # accepts the run log_dir directly
+    restored, next_epoch = restore_run(str(tmp_path), template)
+    assert next_epoch == 5
+    for a, b in zip(jax.tree.leaves(state.policy_params),
+                    jax.tree.leaves(restored.policy_params)):
+        np.testing.assert_allclose(a, b)
+
+
 @pytest.mark.slow
 def test_run_experiment_end_to_end(tmp_path):
     """Tiny SAC spec through the full scheduler path."""

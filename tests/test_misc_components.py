@@ -64,3 +64,24 @@ def test_gen_demos_cli(tmp_path):
     from ilswiss_tpu.data.demo import load_demos_npz
     demos = load_demos_npz(str(out))
     assert int(demos.size) == 20
+
+
+def test_phase_timer_accumulates_and_stamps():
+    """gtimer-equivalent phase accounting (utils/profiling.py)."""
+    import time as _time
+
+    from ilswiss_tpu.utils.profiling import PhaseTimer
+
+    t = PhaseTimer()
+    with t.phase("sample"):
+        _time.sleep(0.01)
+    with t.phase("train"):
+        _time.sleep(0.01)
+    with t.phase("train"):
+        pass
+    out = t.stamp()
+    assert out["Time/sample"] >= 0.01
+    assert out["Time/train"] >= 0.01
+    assert out["Time/total"] >= out["Time/sample"]
+    # stamp resets the accumulators
+    assert "Time/sample" not in t.stamp()
