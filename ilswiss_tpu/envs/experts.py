@@ -34,3 +34,22 @@ def pendulum_expert(obs: jnp.ndarray) -> jnp.ndarray:
 
     near_top = jnp.logical_and(jnp.abs(angle) < 0.35, jnp.abs(thdot) < 8.0)
     return jnp.where(near_top, pd, pump)[..., None]
+
+
+def mountain_expert(obs: jnp.ndarray) -> jnp.ndarray:
+    """Bang-bang energy pumping for MountainCarContinuous: push along
+    the velocity sign (classic optimal-ish controller).
+
+    obs [..., 2] = (position, velocity); returns normalized action."""
+    vel = obs[..., 1]
+    return jnp.sign(vel + 1e-8)[..., None]
+
+
+# name -> scripted controller fn(obs) -> normalized action.  The
+# reference's gen_expert specs flag `use_scripted_policy`
+# (gen_expert_demos.py scripted-policy branch); this registry is the
+# TPU-side source of those scripted controllers.
+SCRIPTED_EXPERTS = {
+    "pendulum": pendulum_expert,
+    "mountain": mountain_expert,
+}

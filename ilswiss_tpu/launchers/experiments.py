@@ -1323,6 +1323,166 @@ def run_mbpo(variant: Dict[str, Any]):
     return runner
 
 
+def run_gen_expert(variant: Dict[str, Any]):
+    """Generate expert demos from a scripted controller or a trained
+    checkpoint and register them in demos_listing.yaml (reference
+    run_scripts/gen_expert_demos.py + exp_specs/gen_expert/*.yaml:
+    use_scripted_policy / expert_path / num_rollouts /
+    subsample_factor / max_path_length)."""
+    from ilswiss_tpu.data.demo import save_demos_npz
+
+    seed, env_name, env_kwargs, num_envs, rl, logger = _setup(
+        variant, "gen_expert")
+    num_envs = max(1, num_envs)
+    max_path_length = int(variant.get(
+        "max_path_length", env_kwargs.get("max_episode_steps", 1000)))
+    env_kwargs["max_episode_steps"] = max_path_length
+    num_rollouts = int(variant.get("num_rollouts", 4))
+    subsample = max(1, int(variant.get("subsample_factor", 1)))
+    steps_per_env = -(-num_rollouts * max_path_length // num_envs)
+    deterministic = bool(variant.get("use_deterministic_expert", True))
+    host = _is_host_env(env_name)
+
+    # --- expert policy -> act_fn(obs[B,...], key) -> action[B,...]
+    scripted = bool(variant.get("use_scripted_policy", False))
+    algo = None
+    algo_state = None
+    if scripted:
+        from ilswiss_tpu.envs.experts import SCRIPTED_EXPERTS
+        if env_name not in SCRIPTED_EXPERTS:
+            raise KeyError(
+                f"no scripted expert for '{env_name}'; "
+                f"available: {sorted(SCRIPTED_EXPERTS)}")
+        controller = SCRIPTED_EXPERTS[env_name]
+        act_fn = lambda obs, key: controller(obs)
+    else:
+        from ilswiss_tpu.runtime.checkpoint import restore_checkpoint
+        expert_path = str(variant["expert_path"])
+        if host:
+            obs_size, action_size = _host_env_sizes(env_name, env_kwargs)
+        else:
+            probe = make_vec(env_name, num_envs=1, **env_kwargs)
+            obs_size = probe.env.observation_size
+            action_size = probe.env.action_size
+        expert_algo = str(variant.get("expert_algo", "sac"))
+        net_size = int(variant.get("net_size", 256))
+        depth = int(variant.get("num_hidden_layers", 2))
+        if expert_algo == "td3":
+            from ilswiss_tpu.algorithms.td3 import TD3, TD3Config
+            algo = TD3(obs_size, action_size, TD3Config(),
+                       net_size=net_size, num_hidden_layers=depth)
+        else:
+            from ilswiss_tpu.algorithms.sac import SAC, SACConfig
+            algo = SAC(obs_size, action_size, SACConfig(),
+                       net_size=net_size, num_hidden_layers=depth)
+        template = algo.init(jax.random.PRNGKey(0))
+        restored = restore_checkpoint(
+            expert_path, {"algo_state": template})
+        algo_state = restored["algo_state"]
+        act_fn = lambda obs, key: algo.act(
+            algo_state, obs, key, deterministic=deterministic)
+
+    # --- roll out
+    if host:
+        demos = _collect_host_transitions(
+            variant, env_name, env_kwargs, num_envs, seed,
+            act_fn, steps_per_env, logger)
+    else:
+        from ilswiss_tpu.runtime.collector import collect_transitions
+        vec = make_vec(env_name, num_envs=num_envs, **env_kwargs)
+        demos = collect_transitions(
+            vec, act_fn, steps_per_env, jax.random.PRNGKey(seed))
+
+    demos = _subsample_transitions(demos, subsample, seed)
+
+    out_path = str(variant.get("save_path") or os.path.join(
+        "demos", f"{variant.get('exp_name', 'gen_expert')}.npz"))
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    save_demos_npz(out_path, demos)
+    mean_rew = float(np.asarray(demos.data["reward"]).mean())
+    logger.log(
+        f"saved {int(demos.size)} transitions to {out_path} "
+        f"(mean step reward {mean_rew:.3f})")
+
+    import yaml
+    listing_path = str(variant.get("demos_listing", "demos_listing.yaml"))
+    listing = {}
+    if os.path.exists(listing_path):
+        with open(listing_path) as f:
+            listing = yaml.safe_load(f) or {}
+    key = str(variant.get(
+        "expert_name", os.path.splitext(os.path.basename(out_path))[0]))
+    listing[key] = {
+        "file_path": out_path,
+        "env": env_name,
+        "num_transitions": int(demos.size),
+    }
+    with open(listing_path, "w") as f:
+        yaml.safe_dump(listing, f)
+    logger.record_tabular("NumTransitions", int(demos.size))
+    logger.record_tabular("MeanStepReward", mean_rew)
+    logger.dump_tabular(0)
+    logger.close()
+    return out_path
+
+
+def _collect_host_transitions(variant, env_name, env_kwargs, num_envs,
+                              seed, act_fn, steps_per_env, logger):
+    """Roll a policy over a host (gymnasium/native) vec env and pack the
+    transitions into a demo ReplayState."""
+    from ilswiss_tpu.data.demo import demos_to_replay_state
+
+    env = _make_host_env(variant, env_name, dict(env_kwargs), num_envs,
+                         seed, logger)
+    try:
+        obs = env.reset(seed=seed)
+        key = jax.random.PRNGKey(seed)
+        rows = {k: [] for k in
+                ("obs", "action", "reward", "next_obs", "terminal")}
+        ep_rows = []
+        ep_counter = np.arange(num_envs, dtype=np.int64) * 1_000_000
+        for _ in range(steps_per_env):
+            key, k = jax.random.split(key)
+            action = np.asarray(act_fn(jax.numpy.asarray(obs), k))
+            obs_prev, true_next, reward, terminal, done, obs = env.step(
+                action)
+            rows["obs"].append(obs_prev)
+            rows["action"].append(action)
+            rows["reward"].append(reward)
+            rows["next_obs"].append(true_next)
+            rows["terminal"].append(terminal.astype(np.float32))
+            ep_rows.append(ep_counter.copy())
+            ep_counter += done.astype(np.int64)
+        flat = {k: np.concatenate(v, axis=0) for k, v in rows.items()}
+        ep_id = np.concatenate(ep_rows, axis=0).astype(np.int32)
+        return demos_to_replay_state(
+            flat["obs"], flat["action"], flat["reward"],
+            flat["next_obs"], flat["terminal"], ep_id)
+    finally:
+        env.close()
+
+
+def _subsample_transitions(state, factor: int, seed: int):
+    """Keep every `factor`-th transition within each episode, random
+    start offset per episode (reference gen_expert_demos.py
+    subsample_factor semantics)."""
+    if factor <= 1:
+        return state
+    from ilswiss_tpu.data.demo import demos_to_replay_state
+    n = int(state.size)
+    ep = np.asarray(state.ep_id[:n])
+    rng = np.random.RandomState(seed)
+    keep = np.zeros(n, bool)
+    for e in np.unique(ep):
+        idx = np.nonzero(ep == e)[0]
+        keep[idx[rng.randint(factor)::factor]] = True
+    sel = np.nonzero(keep)[0]
+    d = {k: np.asarray(v)[:n][sel] for k, v in state.data.items()}
+    return demos_to_replay_state(
+        d["obs"], d["action"], d["reward"], d["next_obs"],
+        d["terminal"], ep[sel])
+
+
 EXPERIMENTS: Dict[str, Callable] = {
     "sac": run_sac,
     "sac_v": run_sac_v,
@@ -1342,4 +1502,5 @@ EXPERIMENTS: Dict[str, Callable] = {
     "her": run_her,
     "gcsl": run_gcsl,
     "mbpo": run_mbpo,
+    "gen_expert": run_gen_expert,
 }
