@@ -83,7 +83,13 @@ class AdvIRL:
     def __init__(self, obs_size: int, action_size: int, policy_trainer,
                  expert_replay: ReplayState,
                  config: AdvIRLConfig = AdvIRLConfig(),
-                 axis_name: str | None = None):
+                 axis_name: str | None = None,
+                 feature_fn=None, feature_dim: int | None = None):
+        """`feature_fn(policy_state, obs) -> features` makes this the
+        visual AdvIRL variant (reference adv_irl_visual.py:54-55): the
+        disc consumes frozen encoder features (e.g. the inner SAC-AE's
+        pixel encoder) instead of raw obs.  `feature_dim` is the
+        encoder output width."""
         assert config.mode in ("airl", "gail", "gail2", "fairl"), config.mode
         self.config = config
         self.obs_size = obs_size
@@ -91,6 +97,10 @@ class AdvIRL:
         self.policy_trainer = policy_trainer
         self.expert_replay = expert_replay
         self.axis_name = axis_name
+        self.feature_fn = feature_fn
+        if feature_fn is not None:
+            assert feature_dim is not None
+            obs_size = feature_dim
         self.disc = MLPDisc(
             num_layer_blocks=config.disc_num_blocks,
             hid_dim=config.disc_hid_dim,
@@ -129,10 +139,19 @@ class AdvIRL:
         return g if self.axis_name is None else jax.lax.pmean(g, self.axis_name)
 
     # ------------------------------------------------------------------
-    def _disc_input(self, batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    def _disc_input(self, state: "AdvIRLState",
+                    batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        obs, next_obs = batch["obs"], batch.get("next_obs")
+        if self.feature_fn is not None:
+            # visual variant: frozen encoder features (adv_irl_visual.py
+            # detaches the encoder for disc inputs)
+            obs = jax.lax.stop_gradient(self.feature_fn(state.policy, obs))
+            if self.config.state_only:
+                next_obs = jax.lax.stop_gradient(
+                    self.feature_fn(state.policy, next_obs))
         if self.config.state_only:
-            return jnp.concatenate([batch["obs"], batch["next_obs"]], axis=-1)
-        return jnp.concatenate([batch["obs"], batch["action"]], axis=-1)
+            return jnp.concatenate([obs, next_obs], axis=-1)
+        return jnp.concatenate([obs, batch["action"]], axis=-1)
 
     def _disc_forward(self, variables, x, train: bool):
         """Always returns (logits, batch_stats_updates_or_None)."""
@@ -150,8 +169,8 @@ class AdvIRL:
             state.expert, k_e, cfg.disc_optim_batch_size
         )
         policy_batch = replay_sample(replay, k_p, cfg.disc_optim_batch_size)
-        expert_in = self._disc_input(expert_batch)
-        policy_in = self._disc_input(policy_batch)
+        expert_in = self._disc_input(state, expert_batch)
+        policy_in = self._disc_input(state, policy_batch)
         x = jnp.concatenate([expert_in, policy_in], axis=0)
         targets = jnp.concatenate([
             jnp.ones((cfg.disc_optim_batch_size, 1)),
@@ -210,7 +229,7 @@ class AdvIRL:
     def synthesize_rewards(self, state: AdvIRLState,
                            batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         cfg = self.config
-        x = self._disc_input(batch)
+        x = self._disc_input(state, batch)
         logits, _ = self._disc_forward(state.disc_params, x, train=False)
         logits = jax.lax.stop_gradient(logits[..., 0])
         if cfg.mode == "airl":
