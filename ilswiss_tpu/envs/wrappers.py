@@ -147,6 +147,92 @@ class AbsorbingEnv(_DelegatingEnv):
         return self.inner.scale_action(normalized)
 
 
+class FrameStackEnv(_DelegatingEnv):
+    """Stack the last k observations along the trailing axis
+    (reference FrameStackEnv, rlkit/envs/wrappers.py:367 — there a
+    deque of pixel frames; here the stack is carried in the env state
+    so it stays jit/vmap-pure).
+
+    Works for image obs [H, W, C] -> [H, W, C*k] and vector obs
+    [D] -> [D*k].
+    """
+
+    def __init__(self, inner: Environment, k: int = 4):
+        super().__init__(inner)
+        self.k = k
+        inner_size = inner.observation_size
+        if isinstance(inner_size, tuple):
+            self.observation_size = inner_size[:-1] + (inner_size[-1] * k,)
+        else:
+            self.observation_size = inner_size * k
+
+    def _stacked(self, frames):
+        return jnp.concatenate(frames, axis=-1)
+
+    def reset(self, key):
+        state = self.inner.reset(key)
+        frames = tuple(state.obs for _ in range(self.k))
+        obs = self._stacked(frames)
+        return state.replace(internal=(state.internal, frames), obs=obs)
+
+    def step(self, state, action):
+        inner_internal, frames = state.internal
+        inner_state = state.replace(internal=inner_internal,
+                                    obs=frames[-1])
+        out = self.inner.step(inner_state, action)
+        new_frames = frames[1:] + (out.obs,)
+        obs = self._stacked(new_frames)
+        new_state = out.state.replace(
+            internal=(out.state.internal, new_frames), obs=obs)
+        return out.replace(state=new_state, obs=obs)
+
+    def scale_action(self, normalized):
+        return self.inner.scale_action(normalized)
+
+
+class DiscretEnv(_DelegatingEnv):
+    """Continuous -> discrete action adapter (reference DiscretEnv,
+    rlkit/envs/wrappers.py:411-446): the action space becomes an index
+    into a meshgrid of `granularity` levels per continuous dim (or an
+    explicit `possible_actions` table), so DQN/discrete-SAC run on Box
+    envs."""
+
+    def __init__(self, inner: Environment, granularity: int = 10,
+                 possible_actions=None):
+        super().__init__(inner)
+        assert not inner.discrete, "already discrete"
+        if possible_actions is not None:
+            base = np.asarray(possible_actions, np.float32)
+            if base.ndim == 1:
+                base = base[:, None]
+        else:
+            axes = [
+                np.linspace(lo, hi, granularity)
+                for lo, hi in zip(
+                    np.atleast_1d(inner.action_low),
+                    np.atleast_1d(inner.action_high),
+                )
+            ]
+            mesh = np.meshgrid(*axes)
+            base = np.stack([a.ravel() for a in mesh], axis=-1)
+        self.base_actions = jnp.asarray(base, jnp.float32)
+        self.discrete = True
+        self.action_size = int(base.shape[0])  # num discrete actions
+        self.action_low = None
+        self.action_high = None
+
+    def reset(self, key):
+        return self.inner.reset(key)
+
+    def step(self, state, action):
+        cont = self.base_actions[jnp.asarray(action, jnp.int32)]
+        cont = jnp.reshape(cont, np.shape(self.inner.action_low))
+        return self.inner.step(state, cont)
+
+    def scale_action(self, normalized):
+        return normalized  # discrete indices pass through
+
+
 class MinmaxEnv(_DelegatingEnv):
     """obs -> (obs - min) / (max - min)  (reference MinmaxEnv:143)."""
 

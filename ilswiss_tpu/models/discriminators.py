@@ -41,6 +41,45 @@ class MLPDisc(nn.Module):
         return jnp.clip(x, -self.clamp_magnitude, self.clamp_magnitude)
 
 
+class CNNDisc(nn.Module):
+    """Visual-IL discriminator (reference CNNDisc,
+    adv_irl/disc_models/cnn_disc_models.py:7-77): a small conv trunk
+    over the image observation (stride-2 first layer, stride-1 blocks
+    after, like the reference / pixel encoder), flattened and
+    concatenated with an optional action vector, then
+    Dense -> LayerNorm -> act blocks to a clamped scalar logit.
+
+    Images are NHWC here (TPU-native layout; the reference is NCHW).
+    """
+
+    num_filters: int = 32
+    num_layer_blocks: int = 2
+    hid_dim: int = 100
+    hid_act: str = "relu"
+    clamp_magnitude: float = 10.0
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray, vec: jnp.ndarray | None = None,
+                 train: bool = True) -> jnp.ndarray:
+        act = nn.relu if self.hid_act == "relu" else jnp.tanh
+        x = nn.Conv(self.num_filters, (3, 3), strides=2,
+                    padding="VALID", name="conv_0")(obs)
+        x = act(x)
+        for i in range(self.num_layer_blocks - 1):
+            x = nn.Conv(self.num_filters, (3, 3), strides=1,
+                        padding="VALID", name=f"conv_{i + 1}")(x)
+            x = act(x)
+        x = x.reshape(x.shape[0], -1)
+        if vec is not None:
+            x = jnp.concatenate([x, vec], axis=-1)
+        for i in range(self.num_layer_blocks):
+            x = nn.Dense(self.hid_dim, name=f"dense_{i}")(x)
+            x = nn.LayerNorm(name=f"ln_{i}")(x)
+            x = act(x)
+        x = nn.Dense(1, name="logit")(x)
+        return jnp.clip(x, -self.clamp_magnitude, self.clamp_magnitude)
+
+
 class ResNetAIRLDisc(nn.Module):
     """Residual MLP disc (reference `ResNetAIRLDisc`,
     simple_disc_models.py:51+): dense blocks with skip connections."""

@@ -76,3 +76,45 @@ def test_stats_dict():
     p = get_path_information([1.0, 3.0], [10, 20], successes=[0, 1])
     assert p["AverageReturn"] == 2.0
     assert p["SuccessRate"] == 0.5
+
+
+def test_frame_stack_env():
+    from ilswiss_tpu.envs.wrappers import FrameStackEnv
+
+    env = FrameStackEnv(make("pendulum"), k=4)
+    assert env.observation_size == 3 * 4
+    state = env.reset(jax.random.PRNGKey(0))
+    assert state.obs.shape == (12,)
+    # at reset all k frames equal the first obs
+    np.testing.assert_allclose(state.obs[:3], state.obs[3:6])
+    out = jax.jit(env.step)(state, jnp.zeros((1,)))
+    assert out.obs.shape == (12,)
+    # newest frame at the end; previous newest shifted left
+    np.testing.assert_allclose(np.asarray(out.obs[6:9]),
+                               np.asarray(state.obs[9:12]))
+
+
+def test_discret_env():
+    from ilswiss_tpu.envs.wrappers import DiscretEnv
+
+    env = DiscretEnv(make("pendulum"), granularity=5)
+    assert env.discrete and env.action_size == 5
+    state = env.reset(jax.random.PRNGKey(0))
+    # index 0 -> lowest torque, index 4 -> highest
+    out_lo = jax.jit(env.step)(state, jnp.asarray(0))
+    out_hi = jax.jit(env.step)(state, jnp.asarray(4))
+    assert out_lo.obs.shape == (3,)
+    assert not np.allclose(np.asarray(out_lo.obs), np.asarray(out_hi.obs))
+
+
+def test_cnn_disc():
+    from ilswiss_tpu.models.discriminators import CNNDisc
+
+    disc = CNNDisc(num_filters=8, num_layer_blocks=2, hid_dim=32,
+                   clamp_magnitude=10.0)
+    obs = jnp.ones((4, 32, 32, 3))
+    act = jnp.ones((4, 2))
+    params = disc.init(jax.random.PRNGKey(0), obs, act)
+    logits = disc.apply(params, obs, act)
+    assert logits.shape == (4, 1)
+    assert np.all(np.abs(np.asarray(logits)) <= 10.0)
