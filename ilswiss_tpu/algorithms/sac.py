@@ -98,7 +98,12 @@ class SAC:
             if config.target_entropy is not None
             else -action_size / 2.0
         )
-        adam = lambda lr: optax.adam(lr, b1=config.beta_1, b2=0.999)
+        # optax.flatten: Adam moments live on one ravelled vector per
+        # optimizer, so each update is a couple of fused elementwise
+        # kernels instead of one chain per param leaf — measurable at
+        # this model scale where the grad step is launch-bound.
+        adam = lambda lr: optax.flatten(
+            optax.adam(lr, b1=config.beta_1, b2=0.999))
         self.policy_tx = adam(config.policy_lr)
         self.qf_tx = adam(config.qf_lr)
         self.alpha_tx = adam(config.alpha_lr)
@@ -107,12 +112,26 @@ class SAC:
     def q_apply(self, stacked_params, obs, actions) -> jnp.ndarray:
         """[2, B, 1] Q values from the stacked critic pair.
 
-        Computed as two explicit applies over sliced params rather than
-        vmap-of-apply: the tunneled TPU terminal's (older) XLA wedges
-        compiling batched-gradient-of-vmapped-apply programs, while this
-        sliced form lowers to the same plain matmul HLO that is proven
-        to compile and train (the slice is free — XLA folds it into the
-        operand)."""
+        The twin critics are evaluated as ONE batched-matmul chain via
+        einsum over the stacked [2, in, out] kernels — half the kernel
+        launches of two separate applies, and (unlike vmap-of-apply,
+        which the tunneled TPU terminal's older XLA wedges on when
+        batch-differentiated) it lowers to plain dot_general HLO.
+        Falls back to explicit sliced applies for non-standard critic
+        modules (e.g. layer_norm variants)."""
+        p = stacked_params.get("params", {}).get("mlp")
+        if p is not None and not self.qf.layer_norm:
+            x = jnp.concatenate([obs, actions], axis=-1)
+            x = jnp.broadcast_to(x, (2,) + x.shape)  # [2, B, D]
+            i = 0
+            while f"hidden_{i}" in p:
+                layer = p[f"hidden_{i}"]
+                x = jnp.einsum("ebi,eio->ebo", x, layer["kernel"])
+                x = jax.nn.relu(x + layer["bias"][:, None, :])
+                i += 1
+            out = p["output"]
+            return (jnp.einsum("ebi,eio->ebo", x, out["kernel"])
+                    + out["bias"][:, None, :])
         qs = [
             self.qf.apply(
                 jax.tree.map(lambda x, e=e: x[e], stacked_params),
