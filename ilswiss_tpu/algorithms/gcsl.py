@@ -9,8 +9,11 @@ and the policy is trained supervised to reproduce the taken action given
   - MSE:  mean sum (tanh(mu)(x) - a)^2  (deterministic head, :70-76)
   - CLASS: cross-entropy for discrete actions (:77-88)
 At action time the loop variant appends the remaining-horizon one-hot
-(gcsl/rl.py:91-98); here acting conditions on horizon = max (optimistic
-full budget), a standard GCSL deployment choice.
+(gcsl/rl.py:91-98); here the deployed policy conditions on the
+configured ``eval_horizon`` (default 0, i.e. greedy "reach the goal
+now" — the regime most relabeled training pairs come from, since
+``future`` relabels concentrate at small t'-t).  Pinned by
+tests/test_gcsl_dagger.py::test_gcsl_act_uses_eval_horizon.
 """
 
 from __future__ import annotations

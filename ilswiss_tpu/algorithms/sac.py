@@ -119,8 +119,14 @@ class SAC:
         batch-differentiated) it lowers to plain dot_general HLO.
         Falls back to explicit sliced applies for non-standard critic
         modules (e.g. layer_norm variants)."""
+        import flax.linen as nn
         p = stacked_params.get("params", {}).get("mlp")
-        if p is not None and not self.qf.layer_norm:
+        # the fast path hand-inlines the forward with relu; take it
+        # only when the module's configured activation really IS relu,
+        # so a future activation override can't silently diverge from
+        # qf.apply (ADVICE r1).
+        if (p is not None and not self.qf.layer_norm
+                and self.qf.activation is nn.relu):
             x = jnp.concatenate([obs, actions], axis=-1)
             x = jnp.broadcast_to(x, (2,) + x.shape)  # [2, B, D]
             i = 0

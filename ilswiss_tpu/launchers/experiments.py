@@ -34,10 +34,28 @@ def _alg(variant: Dict, key: str) -> Dict:
 
 
 def _is_host_env(env_name: str) -> bool:
+    """Route env names: device registry first, then host gym ids.
+
+    Unknown names raise instead of silently falling through to
+    gymnasium (a typo'd device-env name must not become a host run)."""
     from ilswiss_tpu.envs import ENV_REGISTRY
     from ilswiss_tpu.envs.host_mujoco import GYM_ENV_IDS
-    return env_name not in ENV_REGISTRY and (
-        env_name in GYM_ENV_IDS or "-v" in env_name
+    if env_name in ENV_REGISTRY:
+        return False
+    if env_name in GYM_ENV_IDS:
+        return True
+    if "-v" in env_name:
+        try:
+            import gymnasium
+            known = env_name in gymnasium.registry
+        except Exception:
+            known = False
+        if known:
+            return True
+    raise ValueError(
+        f"unknown env {env_name!r}: not a device env "
+        f"(ilswiss_tpu.envs.ENV_REGISTRY), not a native-engine env, and "
+        f"not registered with gymnasium"
     )
 
 

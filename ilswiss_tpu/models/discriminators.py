@@ -20,6 +20,16 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def resolve_act(hid_act: str):
+    """relu/tanh only, like the reference (simple_disc_models.py:14-19);
+    unknown names raise instead of silently mapping to tanh (ADVICE r1)."""
+    if hid_act == "relu":
+        return nn.relu
+    if hid_act == "tanh":
+        return jnp.tanh
+    raise NotImplementedError(f"unknown disc activation: {hid_act!r}")
+
+
 class MLPDisc(nn.Module):
     num_layer_blocks: int = 2
     hid_dim: int = 100
@@ -29,7 +39,7 @@ class MLPDisc(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        act = nn.relu if self.hid_act == "relu" else jnp.tanh
+        act = resolve_act(self.hid_act)
         for i in range(self.num_layer_blocks):
             x = nn.Dense(self.hid_dim, name=f"dense_{i}")(x)
             if self.use_bn:
@@ -56,14 +66,18 @@ class CNNDisc(nn.Module):
     num_layer_blocks: int = 2
     hid_dim: int = 100
     hid_act: str = "relu"
+    use_bn: bool = False
     clamp_magnitude: float = 10.0
 
     @nn.compact
     def __call__(self, obs: jnp.ndarray, vec: jnp.ndarray | None = None,
                  train: bool = True) -> jnp.ndarray:
-        act = nn.relu if self.hid_act == "relu" else jnp.tanh
+        act = resolve_act(self.hid_act)
         x = nn.Conv(self.num_filters, (3, 3), strides=2,
                     padding="VALID", name="conv_0")(obs)
+        if self.use_bn:
+            x = nn.BatchNorm(use_running_average=not train,
+                             name="bn_0")(x)
         x = act(x)
         for i in range(self.num_layer_blocks - 1):
             x = nn.Conv(self.num_filters, (3, 3), strides=1,
@@ -92,7 +106,7 @@ class ResNetAIRLDisc(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        act = nn.relu if self.hid_act == "relu" else jnp.tanh
+        act = resolve_act(self.hid_act)
         x = nn.Dense(self.hid_dim, name="embed")(x)
         if self.use_bn:
             x = nn.BatchNorm(use_running_average=not train, name="bn_in")(x)

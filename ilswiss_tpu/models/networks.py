@@ -82,6 +82,7 @@ class FlattenMLP(nn.Module):
 
     hidden_sizes: Sequence[int]
     output_size: int
+    activation: Callable = nn.relu
     layer_norm: bool = False
 
     @nn.compact
@@ -90,6 +91,7 @@ class FlattenMLP(nn.Module):
         return MLP(
             hidden_sizes=self.hidden_sizes,
             output_size=self.output_size,
+            activation=self.activation,
             layer_norm=self.layer_norm,
             name="mlp",
         )(x)

@@ -15,6 +15,34 @@ from ilswiss_tpu.runtime.collector import collect_transitions
 from ilswiss_tpu.runtime.evaluator import make_evaluator
 
 
+def test_gcsl_act_uses_eval_horizon():
+    """Pins the deployed-horizon behavior: act() conditions on the
+    configured eval_horizon one-hot (default 0 = greedy), matching the
+    GCSLConfig docstring — not on horizon = max."""
+    gcsl = GCSL(obs_size=2, goal_size=2, action_size=1,
+                config=GCSLConfig(mode="MSE", max_horizon=8,
+                                  eval_horizon=3),
+                net_size=16, num_hidden_layers=1)
+    state = gcsl.init(jax.random.PRNGKey(0))
+    obs = {"observation": jnp.ones((4, 2)),
+           "desired_goal": jnp.zeros((4, 2))}
+    a_act = gcsl.act(state, obs, jax.random.PRNGKey(1),
+                     deterministic=True)
+    # reproduce act() by hand with the horizon the config promises
+    x = jnp.concatenate(
+        [obs["observation"], obs["desired_goal"],
+         jax.nn.one_hot(jnp.full((4,), 3), 8)], axis=-1)
+    mean, _ = gcsl.policy.apply(state.policy_params, x)
+    np.testing.assert_allclose(np.asarray(a_act),
+                               np.asarray(jnp.tanh(mean)), rtol=1e-6)
+    # and confirm a different horizon actually changes the input/output
+    x_max = jnp.concatenate(
+        [obs["observation"], obs["desired_goal"],
+         jax.nn.one_hot(jnp.full((4,), 7), 8)], axis=-1)
+    mean_max, _ = gcsl.policy.apply(state.policy_params, x_max)
+    assert not np.allclose(np.asarray(mean), np.asarray(mean_max))
+
+
 def test_gcsl_epoch_runs():
     vec = make_vec("reach2d", num_envs=4)
     gcsl = GCSL(
