@@ -42,18 +42,19 @@ _register_goal()
 _register_pixels()
 
 
-def _register_control():
-    # Registered lazily to keep import cheap; brax-style locomotion envs
-    # (hopper/walker/halfcheetah/ant/humanoid) are added by the mjx module.
-    from ilswiss_tpu.envs import locomotion  # noqa: F401
+def _register_locomotion():
+    # On-device MuJoCo locomotion family (JAX rigid-body engine).  These
+    # take the names the reference registry uses for its MuJoCo envs
+    # (rlkit/envs/envs_dict.py), so specs route to the device path; the
+    # host bridge keeps the gymnasium ids (host_mujoco.GYM_ENV_IDS).
+    from ilswiss_tpu.envs import locomotion
+    locomotion.register_all(register)
+
+
+_register_locomotion()
 
 
 def make(name: str, **kwargs) -> Environment:
-    if name not in ENV_REGISTRY:
-        try:
-            _register_control()
-        except ImportError:
-            pass
     if name not in ENV_REGISTRY:
         raise KeyError(
             f"Unknown env '{name}'. Registered: {sorted(ENV_REGISTRY)}"

@@ -1,0 +1,196 @@
+"""On-device MuJoCo locomotion environments (pure JAX).
+
+The centerpiece of the TPU rebuild: the reference steps these envs in
+the MuJoCo C engine, one OS process per env behind pipes
+(rlkit/envs/worker/subproc.py; registry rlkit/envs/envs_dict.py).  Here
+the whole simulator is the JAX rigid-body engine
+(ilswiss_tpu/ops/rigid_body.py, pinned to mj_forward at ~1e-14 in
+tests/test_rigid_body.py), so thousands of instances step in lockstep
+under `vmap` inside the fused actor-learner jit and shard over an
+`env` mesh axis.
+
+Observation / reward / termination / reset-noise semantics are
+gymnasium-v5-exact (same generation the host bridge and the native C++
+engine use; validated against gymnasium in tests/test_locomotion.py):
+
+  hopper:  obs [qpos[1:], clip(qvel, ±10)]; r = dx/dt + healthy
+           - 1e-3·|a|²; healthy: z>0.7, |angle|<0.2, state[2:] in ±100
+  walker:  same obs form; healthy: 0.8<z<2.0, |angle|<1
+  halfcheetah: obs [qpos[1:], qvel]; r = dx/dt - 0.1·|a|²; no terminal
+  invertedpendulum: obs [qpos, qvel]; r = 1 while |angle|<=0.2
+  inverteddoublependulum: obs [x, sin q12, cos q12, clip(qvel,±10),
+           clip(qfrc_constraint[0], ±10)]; r = 10·healthy
+           - (0.01 x_tip² + (y_tip-2)²) - (1e-3 ω₁² + 5e-3 ω₂²);
+           terminal when y_tip <= 1
+
+The contact solver runs `solver_iters` projected-Gauss-Seidel sweeps
+(env_kwargs-overridable).  40 matches MuJoCo's qacc to ~5e-3 relative
+— far inside the reset-noise/action stochasticity of RL training —
+while keeping the TPU step latency-bound rather than compute-bound.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ilswiss_tpu.envs._locomotion_params import PARAMS
+from ilswiss_tpu.envs.base import Environment
+from ilswiss_tpu.ops.rigid_body import RigidModel, physics_step, site_positions
+
+_MODELS: dict[str, RigidModel] = {}
+
+
+def _model(name: str) -> RigidModel:
+    if name not in _MODELS:
+        _MODELS[name] = RigidModel(PARAMS[name])
+    return _MODELS[name]
+
+
+class LocomotionEnv(Environment):
+    """Base for scalar-joint MuJoCo models: internal = (qpos, qvel)."""
+
+    name: str
+    max_episode_steps = 1000
+    solver_iters = 40
+    reset_noise_scale = 5e-3
+    gaussian_qvel_noise = False   # halfcheetah/IDP draw qvel from N(0,s)
+
+    def __init__(self, **overrides):
+        super().__init__(**overrides)
+        self.model = _model(self.name)
+        self.action_low = np.asarray(self.model.ctrl_range[:, 0], np.float32)
+        self.action_high = np.asarray(self.model.ctrl_range[:, 1], np.float32)
+        self.action_size = self.model.nu
+        self.dt = self.model.timestep * self.model.frame_skip
+
+    # -- hooks per env -------------------------------------------------
+    def _obs(self, q, qd, qfrc_con):
+        raise NotImplementedError
+
+    def _reward_terminal(self, q_before, q, qd, qfrc_con, action):
+        raise NotImplementedError
+
+    # -- Environment API ----------------------------------------------
+    def _reset(self, key):
+        m = self.model
+        kq, kv = jax.random.split(key)
+        s = self.reset_noise_scale
+        q = jnp.asarray(m.qpos0, jnp.float32) + jax.random.uniform(
+            kq, (m.nq,), jnp.float32, -s, s
+        )
+        if self.gaussian_qvel_noise:
+            qd = s * jax.random.normal(kv, (m.nv,), jnp.float32)
+        else:
+            qd = jax.random.uniform(kv, (m.nv,), jnp.float32, -s, s)
+        zero = jnp.zeros(m.nv, jnp.float32)
+        return (q, qd), self._obs(q, qd, zero)
+
+    def _step(self, internal, action, key):
+        q0, qd0 = internal
+        q, qd, qfrc_con = physics_step(
+            self.model, q0, qd0, action, iters=self.solver_iters
+        )
+        obs = self._obs(q, qd, qfrc_con)
+        reward, terminal = self._reward_terminal(q0, q, qd, qfrc_con, action)
+        return (q, qd), obs, reward, terminal
+
+
+class HopperDevice(LocomotionEnv):
+    name = "hopper"
+    observation_size = 11
+
+    def _obs(self, q, qd, qfrc_con):
+        return jnp.concatenate([q[1:], jnp.clip(qd, -10.0, 10.0)])
+
+    def _reward_terminal(self, q_before, q, qd, qfrc_con, action):
+        x_vel = (q[0] - q_before[0]) / self.dt
+        state = jnp.concatenate([q[2:], qd])
+        healthy = (
+            jnp.all(jnp.isfinite(q)) & jnp.all(jnp.isfinite(qd))
+            & jnp.all(jnp.abs(state) < 100.0)
+            & (q[1] > 0.7) & (jnp.abs(q[2]) < 0.2)
+        )
+        reward = x_vel + 1.0 - 1e-3 * jnp.sum(jnp.square(action))
+        return reward, jnp.logical_not(healthy)
+
+
+class WalkerDevice(LocomotionEnv):
+    name = "walker"
+    observation_size = 17
+
+    def _obs(self, q, qd, qfrc_con):
+        return jnp.concatenate([q[1:], jnp.clip(qd, -10.0, 10.0)])
+
+    def _reward_terminal(self, q_before, q, qd, qfrc_con, action):
+        x_vel = (q[0] - q_before[0]) / self.dt
+        healthy = (
+            (q[1] > 0.8) & (q[1] < 2.0)
+            & (q[2] > -1.0) & (q[2] < 1.0)
+        )
+        reward = x_vel + 1.0 - 1e-3 * jnp.sum(jnp.square(action))
+        return reward, jnp.logical_not(healthy)
+
+
+class HalfCheetahDevice(LocomotionEnv):
+    name = "halfcheetah"
+    observation_size = 17
+    reset_noise_scale = 0.1
+    gaussian_qvel_noise = True
+
+    def _obs(self, q, qd, qfrc_con):
+        return jnp.concatenate([q[1:], qd])
+
+    def _reward_terminal(self, q_before, q, qd, qfrc_con, action):
+        x_vel = (q[0] - q_before[0]) / self.dt
+        reward = x_vel - 0.1 * jnp.sum(jnp.square(action))
+        return reward, jnp.zeros((), bool)
+
+
+class InvertedPendulumDevice(LocomotionEnv):
+    name = "invertedpendulum"
+    observation_size = 4
+    reset_noise_scale = 0.01
+
+    def _obs(self, q, qd, qfrc_con):
+        return jnp.concatenate([q, qd])
+
+    def _reward_terminal(self, q_before, q, qd, qfrc_con, action):
+        finite = jnp.all(jnp.isfinite(q)) & jnp.all(jnp.isfinite(qd))
+        terminal = jnp.logical_not(finite) | (jnp.abs(q[1]) > 0.2)
+        return jnp.logical_not(terminal).astype(jnp.float32), terminal
+
+
+class InvertedDoublePendulumDevice(LocomotionEnv):
+    name = "inverteddoublependulum"
+    observation_size = 9
+    reset_noise_scale = 0.1
+    gaussian_qvel_noise = True
+    healthy_reward = 10.0
+
+    def _obs(self, q, qd, qfrc_con):
+        return jnp.concatenate([
+            q[:1],
+            jnp.sin(q[1:]),
+            jnp.cos(q[1:]),
+            jnp.clip(qd, -10.0, 10.0),
+            jnp.clip(qfrc_con, -10.0, 10.0)[:1],
+        ])
+
+    def _reward_terminal(self, q_before, q, qd, qfrc_con, action):
+        tip = site_positions(self.model, q)[0]
+        x, y = tip[0], tip[2]
+        terminal = y <= 1.0
+        dist_penalty = 0.01 * x**2 + (y - 2.0) ** 2
+        vel_penalty = 1e-3 * qd[1] ** 2 + 5e-3 * qd[2] ** 2
+        alive = self.healthy_reward * jnp.logical_not(terminal)
+        return alive - dist_penalty - vel_penalty, terminal
+
+
+def register_all(register) -> None:
+    register("hopper", HopperDevice)
+    register("walker", WalkerDevice)
+    register("halfcheetah", HalfCheetahDevice)
+    register("invertedpendulum", InvertedPendulumDevice)
+    register("inverteddoublependulum", InvertedDoublePendulumDevice)

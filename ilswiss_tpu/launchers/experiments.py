@@ -59,6 +59,16 @@ def _is_host_env(env_name: str) -> bool:
     )
 
 
+def _route_host(variant: Dict, env_name: str) -> bool:
+    """Device registry wins by default (fused on-device loop); a spec
+    can pin the host path (native C++ mjvec / gymnasium threads) with
+    `env_specs: {force_host: true}` — e.g. exp_specs/sac/
+    sac_hopper_native.yaml benchmarking the host engine."""
+    if bool(_alg(variant, "env_specs").get("force_host", False)):
+        return True
+    return _is_host_env(env_name)
+
+
 def _make_host_env(variant: Dict, env_name: str, env_kwargs: Dict,
                    num_envs: int, seed: int, logger: Logger,
                    demo_stats: Dict | None = None,
@@ -363,7 +373,7 @@ def run_sac(variant: Dict[str, Any]):
     from ilswiss_tpu.algorithms.sac import SAC, SACConfig
 
     seed, env_name, env_kwargs, num_envs, rl, logger = _setup(variant, "sac")
-    host = _is_host_env(env_name)
+    host = _route_host(variant, env_name)
     if host:
         obs_size, action_size = _host_env_sizes(env_name, env_kwargs)
     else:
@@ -426,7 +436,7 @@ def run_td3(variant: Dict[str, Any]):
     from ilswiss_tpu.algorithms.td3 import TD3, TD3Config
 
     seed, env_name, env_kwargs, num_envs, rl, logger = _setup(variant, "td3")
-    host = _is_host_env(env_name)
+    host = _route_host(variant, env_name)
     if host:
         obs_size, action_size = _host_env_sizes(env_name, env_kwargs)
     else:
@@ -464,7 +474,7 @@ def run_ddpg(variant: Dict[str, Any]):
     from ilswiss_tpu.algorithms.ddpg import DDPG, DDPGConfig
 
     seed, env_name, env_kwargs, num_envs, rl, logger = _setup(variant, "ddpg")
-    host = _is_host_env(env_name)
+    host = _route_host(variant, env_name)
     if host:
         obs_size, action_size = _host_env_sizes(env_name, env_kwargs)
     else:
@@ -543,7 +553,7 @@ def run_ppo(variant: Dict[str, Any]):
     from ilswiss_tpu.algorithms.ppo import PPO, PPOConfig
 
     seed, env_name, env_kwargs, num_envs, rl, logger = _setup(variant, "ppo")
-    host = _is_host_env(env_name)
+    host = _route_host(variant, env_name)
     if host:
         obs_size, action_size = _host_env_sizes(env_name, env_kwargs)
     else:
@@ -832,7 +842,7 @@ def run_adv_irl(variant: Dict[str, Any]):
     for k, v in p.items():
         if not isinstance(v, dict):
             rl.setdefault(k, v)
-    host = _is_host_env(env_name)
+    host = _route_host(variant, env_name)
     wrap_absorbing = bool(p.get("wrap_absorbing", False))
 
     demos = load_demos_npz(_resolve_demo_path(variant))
@@ -1045,7 +1055,7 @@ def run_her(variant: Dict[str, Any]):
 
     seed, env_name, env_kwargs, num_envs, rl, logger = _setup(
         variant, "her")
-    host = _is_host_env(env_name)
+    host = _route_host(variant, env_name)
     if host:
         from ilswiss_tpu.envs.host_mujoco import HostGoalVectorEnv
         kw = dict(env_kwargs)
@@ -1238,7 +1248,7 @@ def run_mbpo(variant: Dict[str, Any]):
     for k, v in mp.items():
         if not isinstance(v, dict):
             rl.setdefault(k, v)
-    host = _is_host_env(env_name)
+    host = _route_host(variant, env_name)
     if host:
         obs_size, action_size = _host_env_sizes(env_name, env_kwargs)
         vec = None
@@ -1359,7 +1369,7 @@ def run_gen_expert(variant: Dict[str, Any]):
     subsample = max(1, int(variant.get("subsample_factor", 1)))
     steps_per_env = -(-num_rollouts * max_path_length // num_envs)
     deterministic = bool(variant.get("use_deterministic_expert", True))
-    host = _is_host_env(env_name)
+    host = _route_host(variant, env_name)
 
     # --- expert policy -> act_fn(obs[B,...], key) -> action[B,...]
     scripted = bool(variant.get("use_scripted_policy", False))

@@ -1,0 +1,113 @@
+"""On-device locomotion envs vs gymnasium (obs/reward/termination).
+
+The device envs (ilswiss_tpu/envs/locomotion.py) must reproduce the
+gymnasium-v5 semantics the reference trains on (reference reaches the
+same models via gym + subprocess workers, rlkit/envs/envs_dict.py).
+Strategy: inject the same (qpos, qvel) into both simulators, apply the
+same action, and compare observation / reward / terminated after one
+control step — in float64 with a high solver-iteration count so the
+physics itself is exact (pinned separately in test_rigid_body.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+gymnasium = pytest.importorskip("gymnasium")
+
+from ilswiss_tpu.envs import locomotion  # noqa: E402
+
+CASES = [
+    ("Hopper-v5", locomotion.HopperDevice),
+    ("Walker2d-v5", locomotion.WalkerDevice),
+    ("HalfCheetah-v5", locomotion.HalfCheetahDevice),
+    ("InvertedPendulum-v5", locomotion.InvertedPendulumDevice),
+    ("InvertedDoublePendulum-v5", locomotion.InvertedDoublePendulumDevice),
+]
+
+
+@pytest.fixture(scope="module")
+def x64():
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)
+
+
+@pytest.mark.parametrize("gym_id,cls", CASES)
+def test_step_matches_gymnasium(gym_id, cls, x64):
+    gym_env = gymnasium.make(gym_id).unwrapped
+    gym_env.reset(seed=0)
+    env = cls(solver_iters=1000)
+
+    rng = np.random.RandomState(0)
+    step = jax.jit(lambda s, a: env._step(s, a, jax.random.PRNGKey(0)))
+    for trial in range(3):
+        gym_env.reset(seed=trial)
+        q = np.asarray(gym_env.data.qpos, np.float64).copy()
+        qd = np.asarray(gym_env.data.qvel, np.float64).copy()
+        action = rng.uniform(-1.0, 1.0, env.action_size).astype(np.float64)
+
+        gobs, grew, gterm, _, _ = gym_env.step(action)
+        (q2, qd2), obs, rew, term = step(
+            (jnp.asarray(q), jnp.asarray(qd)), jnp.asarray(action)
+        )
+        np.testing.assert_allclose(np.asarray(obs), gobs, atol=1e-6,
+                                   err_msg=f"{gym_id} obs")
+        np.testing.assert_allclose(float(rew), grew, atol=1e-6,
+                                   err_msg=f"{gym_id} reward")
+        assert bool(term) == bool(gterm), f"{gym_id} terminal"
+        # keep stepping from gym's post-step state next trial
+
+
+@pytest.mark.parametrize("gym_id,cls", CASES)
+def test_reset_distribution_bounds(gym_id, cls):
+    """Reset noise scale/shape matches the gymnasium env family."""
+    env = cls()
+    states = [env.reset(jax.random.PRNGKey(i)) for i in range(8)]
+    m = env.model
+    q0 = np.asarray(m.qpos0)
+    for s in states:
+        q, qd = (np.asarray(a) for a in s.internal)
+        assert q.shape == (m.nq,) and qd.shape == (m.nv,)
+        assert np.all(np.abs(q - q0) <= env.reset_noise_scale + 1e-7)
+        if not env.gaussian_qvel_noise:
+            assert np.all(np.abs(qd) <= env.reset_noise_scale + 1e-7)
+        assert np.asarray(s.obs).shape == (env.observation_size,)
+
+
+def test_vector_autoreset_and_registry():
+    # runs in the suite's default float32 mode even when the module's
+    # x64 fixture is still active for parametrized neighbors
+    jax.config.update("jax_enable_x64", False)
+    from ilswiss_tpu.envs import ENV_REGISTRY, make_vec
+    from ilswiss_tpu.launchers.experiments import _is_host_env
+
+    for name in ("hopper", "walker", "halfcheetah", "invertedpendulum",
+                 "inverteddoublependulum"):
+        assert name in ENV_REGISTRY
+        assert not _is_host_env(name)
+
+    vec = make_vec("hopper", num_envs=4)
+    state = vec.reset(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def roll(state, key):
+        def body(carry, k):
+            s, _ = carry
+            a = jax.random.uniform(k, (4, vec.env.action_size),
+                                   minval=-1.0, maxval=1.0)
+            s, tr = vec.step(s, a)
+            return (s, tr.done), (tr.reward, tr.done)
+        (s, _), (rews, dones) = jax.lax.scan(
+            body, (state, jnp.zeros(4, bool)),
+            jax.random.split(key, 10))
+        return s, rews, dones
+
+    s, rews, dones = roll(state, jax.random.PRNGKey(1))
+    assert rews.shape == (10, 4)
+    assert np.all(np.isfinite(np.asarray(rews)))
+    # after any done the episode counter must have restarted
+    t = np.asarray(s.t)
+    assert np.all(t <= 10)
