@@ -1,7 +1,8 @@
 """ctypes bindings for the native vectorized MuJoCo engine.
 
 `NativeMjVectorEnv` is a drop-in replacement for `GymVectorEnv` on the
-locomotion family (hopper/walker/halfcheetah), backed by
+full MuJoCo benchmark family (hopper/walker/halfcheetah/ant/humanoid/
+swimmer/inverted(-double)-pendulum, reference README.md:142-149), backed by
 native/mjvec.cpp: one C call steps all B envs over persistent worker
 threads with zero per-env Python overhead.  Built on demand with g++
 against the mujoco wheel's headers and shared library (no pybind11 —
@@ -21,6 +22,11 @@ _ENV_TYPES = {
     "hopper": (0, "hopper.xml", 4),
     "walker": (1, "walker2d.xml", 4),
     "halfcheetah": (2, "half_cheetah.xml", 5),
+    "ant": (3, "ant.xml", 5),
+    "humanoid": (4, "humanoid.xml", 5),
+    "swimmer": (5, "swimmer.xml", 4),
+    "invertedpendulum": (6, "inverted_pendulum.xml", 2),
+    "inverteddoublependulum": (7, "inverted_double_pendulum.xml", 5),
 }
 
 _LIB = None

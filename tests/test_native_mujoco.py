@@ -18,6 +18,11 @@ from ilswiss_tpu.envs.native_mujoco import NativeMjVectorEnv, _ENV_TYPES
     ("hopper", "Hopper-v5"),
     ("walker", "Walker2d-v5"),
     ("halfcheetah", "HalfCheetah-v5"),
+    ("ant", "Ant-v5"),
+    ("humanoid", "Humanoid-v5"),
+    ("swimmer", "Swimmer-v5"),
+    ("invertedpendulum", "InvertedPendulum-v5"),
+    ("inverteddoublependulum", "InvertedDoublePendulum-v5"),
 ])
 def test_native_matches_gymnasium(name, gym_id):
     native = NativeMjVectorEnv(name, num_envs=1, seed=0)
