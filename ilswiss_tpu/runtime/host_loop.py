@@ -42,6 +42,14 @@ class HostLoopConfig:
     # `no_terminal` flag, base_algorithm.py _handle_step: GAIL-family
     # specs train the critic without bootstrapping cutoffs)
     no_terminal: bool = False
+    # Pipeline host collection with TPU training: segment t+1 is
+    # collected on a background thread with a params snapshot taken
+    # before train call t, while the TPU trains on segment t.  One
+    # segment of policy staleness (standard async actor-learner), ~2x
+    # wall-clock when collection cost ~= training cost.  The reference
+    # has no equivalent — its loop strictly alternates
+    # (base_algorithm.py:183-298).
+    overlap_collection: bool = True
 
 
 @struct.dataclass
@@ -139,20 +147,24 @@ class HostOffPolicyLoop:
 
     # ------------------------------------------------------------------
     def _collect_segment(self, runner: HostRunnerState, num_steps: int,
-                         random_actions: bool) -> Transition:
-        """Host rollout of num_steps//B iterations; returns [T, B] stack."""
+                         random_actions: bool,
+                         state_cpu=None, key=None) -> Transition:
+        """Host rollout of num_steps//B iterations; returns [T, B] stack.
+
+        `state_cpu`/`key` may be pre-snapshotted CPU copies (the overlap
+        path snapshots them before the TPU train call donates the
+        runner's buffers, then collects on a background thread)."""
         B = self.env.num_envs
         iters = max(1, num_steps // B)
         rows = []
         with jax.default_device(self.cpu):
-            state_cpu = (
-                None if random_actions
-                else jax.device_put(runner.algo_state, self.cpu)
-            )
-            key = jax.random.fold_in(
-                jax.device_put(runner.rng, self.cpu),
-                runner.total_env_steps,
-            )
+            if state_cpu is None and not random_actions:
+                state_cpu = jax.device_put(runner.algo_state, self.cpu)
+            if key is None:
+                key = jax.random.fold_in(
+                    jax.device_put(runner.rng, self.cpu),
+                    runner.total_env_steps,
+                )
             for t in range(iters):
                 if random_actions:
                     action = np.random.uniform(
@@ -202,6 +214,54 @@ class HostOffPolicyLoop:
         n_calls = max(
             1, steps_per_epoch // self.config.steps_between_train_calls
         )
+        if not self.config.overlap_collection:
+            return self._train_epoch_serial(runner, n_calls)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        seg_steps = self.config.steps_between_train_calls
+        all_metrics = []
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            def snapshot_and_submit(r):
+                # CPU copies taken synchronously so the TPU train call's
+                # buffer donation can't invalidate what the collector
+                # thread reads
+                state_cpu = jax.device_put(r.algo_state, self.cpu)
+                key = jax.random.fold_in(
+                    jax.device_put(r.rng, self.cpu), r.total_env_steps)
+                return pool.submit(
+                    self._collect_segment, r, seg_steps, False,
+                    state_cpu, key,
+                )
+
+            fut = snapshot_and_submit(runner)
+            for i in range(n_calls):
+                with phase("sample"):
+                    seg = fut.result()
+                if i + 1 < n_calls:
+                    # next segment collects with the params from before
+                    # this train call (one segment of staleness) while
+                    # the TPU trains
+                    fut = snapshot_and_submit(runner)
+                steps = int(seg.reward.shape[0] * seg.reward.shape[1])
+                with phase("train"):
+                    runner, metrics = self._ingest_and_train(runner, seg)
+                    metrics = jax.device_get(metrics)
+                runner = runner.replace(
+                    total_env_steps=runner.total_env_steps + steps
+                )
+                all_metrics.append(metrics)
+        return runner, {
+            k: float(np.mean([m[k] for m in all_metrics]))
+            for k in all_metrics[0]
+        }
+
+    def _train_epoch_serial(self, runner: HostRunnerState, n_calls: int
+                            ) -> tuple[HostRunnerState, Dict[str, float]]:
+        """Reference-cadence alternation (collect then train), kept for
+        algorithms that must act with the newest params every segment."""
+        from ilswiss_tpu.utils.profiling import phase
+
         all_metrics = []
         for _ in range(n_calls):
             with phase("sample"):
