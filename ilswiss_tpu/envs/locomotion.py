@@ -49,11 +49,17 @@ def _model(name: str) -> RigidModel:
 
 
 class LocomotionEnv(Environment):
-    """Base for scalar-joint MuJoCo models: internal = (qpos, qvel)."""
+    """Base for scalar-joint MuJoCo models.
+
+    internal = (qpos, qvel, warm-start row forces): the constraint
+    solver warm-starts from the previous control step's contact/limit
+    forces (MuJoCo's qacc_warmstart equivalent), so `solver_iters`
+    projected-Gauss-Seidel sweeps track the converged solution through
+    an episode.  Forces reset to zero with the episode."""
 
     name: str
     max_episode_steps = 1000
-    solver_iters = 40
+    solver_iters = 15
     reset_noise_scale = 5e-3
     gaussian_qvel_noise = False   # halfcheetah/IDP draw qvel from N(0,s)
 
@@ -85,16 +91,17 @@ class LocomotionEnv(Environment):
         else:
             qd = jax.random.uniform(kv, (m.nv,), jnp.float32, -s, s)
         zero = jnp.zeros(m.nv, jnp.float32)
-        return (q, qd), self._obs(q, qd, zero)
+        warm = jnp.zeros(m.nrow, jnp.float32)
+        return (q, qd, warm), self._obs(q, qd, zero)
 
     def _step(self, internal, action, key):
-        q0, qd0 = internal
-        q, qd, qfrc_con = physics_step(
-            self.model, q0, qd0, action, iters=self.solver_iters
+        q0, qd0, warm = internal
+        q, qd, qfrc_con, warm = physics_step(
+            self.model, q0, qd0, action, iters=self.solver_iters, f0=warm
         )
         obs = self._obs(q, qd, qfrc_con)
         reward, terminal = self._reward_terminal(q0, q, qd, qfrc_con, action)
-        return (q, qd), obs, reward, terminal
+        return (q, qd, warm), obs, reward, terminal
 
 
 class HopperDevice(LocomotionEnv):

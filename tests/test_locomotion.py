@@ -50,8 +50,9 @@ def test_step_matches_gymnasium(gym_id, cls, x64):
         action = rng.uniform(-1.0, 1.0, env.action_size).astype(np.float64)
 
         gobs, grew, gterm, _, _ = gym_env.step(action)
-        (q2, qd2), obs, rew, term = step(
-            (jnp.asarray(q), jnp.asarray(qd)), jnp.asarray(action)
+        warm = jnp.zeros(env.model.nrow, jnp.float64)
+        (q2, qd2, _), obs, rew, term = step(
+            (jnp.asarray(q), jnp.asarray(qd), warm), jnp.asarray(action)
         )
         np.testing.assert_allclose(np.asarray(obs), gobs, atol=1e-6,
                                    err_msg=f"{gym_id} obs")
@@ -69,7 +70,7 @@ def test_reset_distribution_bounds(gym_id, cls):
     m = env.model
     q0 = np.asarray(m.qpos0)
     for s in states:
-        q, qd = (np.asarray(a) for a in s.internal)
+        q, qd = (np.asarray(a) for a in s.internal[:2])
         assert q.shape == (m.nq,) and qd.shape == (m.nv,)
         assert np.all(np.abs(q - q0) <= env.reset_noise_scale + 1e-7)
         if not env.gaussian_qvel_noise:
