@@ -68,9 +68,63 @@ def test_shards_see_distinct_envs():
 
 
 def test_distributed_matches_single_device_grad_semantics():
-    # With pmean over shards, training is equivalent to a larger-batch
-    # single-device run in expectation; here we just check the sharded
-    # replay filled independently per shard.
+    """N-shard training with pmean'd grads must be NUMERICALLY equal to
+    a single-device run when every shard holds the same batch: pmean of
+    identical grads is the identity, so the parameter update must match
+    the unsharded trainer's bit-for-bit (up to reduction order)."""
+    from functools import partial
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh(8)
+    key = jax.random.PRNGKey(3)
+    sac_sharded = SAC(3, 1, SACConfig(), net_size=32,
+                      num_hidden_layers=1, axis_name="env")
+    sac_single = SAC(3, 1, SACConfig(), net_size=32, num_hidden_layers=1)
+
+    state0 = sac_single.init(key)
+    batch = {
+        "obs": jax.random.normal(jax.random.fold_in(key, 1), (32, 3)),
+        "action": jnp.tanh(
+            jax.random.normal(jax.random.fold_in(key, 2), (32, 1))),
+        "reward": jax.random.normal(jax.random.fold_in(key, 3), (32,)),
+        "next_obs": jax.random.normal(
+            jax.random.fold_in(key, 4), (32, 3)),
+        "terminal": jnp.zeros((32,), bool),
+    }
+    k_train = jax.random.fold_in(key, 5)
+
+    single_state, single_metrics = jax.jit(sac_single.train_step)(
+        state0, batch, k_train)
+
+    def shard_fn(state, batch, k):
+        # every shard: identical state, batch, key -> identical grads
+        new_state, metrics = sac_sharded.train_step(state, batch, k)
+        return new_state, metrics
+
+    sharded = jax.jit(shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P()), out_specs=(P(), P()),
+        check_vma=False,
+    ))
+    shard_state, shard_metrics = sharded(state0, batch, k_train)
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        jax.device_get((single_state.policy_params,
+                        single_state.qf_params,
+                        single_state.log_alpha)),
+        jax.device_get((shard_state.policy_params,
+                        shard_state.qf_params,
+                        shard_state.log_alpha)),
+    )
+    np.testing.assert_allclose(
+        float(single_metrics["qf1_loss"]),
+        float(shard_metrics["qf1_loss"]), rtol=1e-5)
+
+
+def test_distributed_replay_sharding():
     mesh, loop, runner_factory = _build()
     runner = runner_factory.init(jax.random.PRNGKey(0))
     warmup, epoch = runner_factory.build(steps_per_epoch=8 * 16)
@@ -78,3 +132,42 @@ def test_distributed_matches_single_device_grad_semantics():
     sizes = np.asarray(jax.device_get(runner.replay.size))
     assert sizes.shape == (8,)
     assert np.all(sizes == sizes[0]) and sizes[0] >= 16
+
+
+def test_distributed_gail_train_call_epoch():
+    """A train_call-owning algorithm (AdvIRL/GAIL wrapping SAC) runs
+    under the mesh: expert buffer replicated in algo_state, disc +
+    inner-SAC grads pmean'd over shards, params stay replicated
+    (VERDICT r1 item 4)."""
+    from ilswiss_tpu.algorithms.adv_irl import AdvIRL, AdvIRLConfig
+    from ilswiss_tpu.envs.experts import pendulum_expert
+    from ilswiss_tpu.runtime.collector import collect_transitions
+
+    mesh = make_mesh(8)
+    vec = make_vec("pendulum", num_envs=2)
+    demos = collect_transitions(
+        vec, lambda obs, k: pendulum_expert(obs), 100,
+        jax.random.PRNGKey(7))
+    sac = SAC(3, 1, SACConfig(), net_size=32, num_hidden_layers=1,
+              axis_name="env")
+    gail = AdvIRL(3, 1, sac, demos, AdvIRLConfig(
+        mode="gail", disc_hid_dim=32, disc_use_bn=False,
+        disc_optim_batch_size=32, policy_optim_batch_size=32,
+    ), axis_name="env")
+    loop = OffPolicyLoop(
+        vec, gail,
+        OffPolicyConfig(batch_size=32, replay_capacity=512,
+                        min_steps_before_training=16),
+    )
+    factory = DistributedOffPolicyRunner(loop, mesh)
+    runner = factory.init(jax.random.PRNGKey(0))
+    warmup, epoch = factory.build(steps_per_epoch=8 * 8)
+    runner = warmup(runner)
+    runner, metrics = epoch(runner)
+    for k in ("disc_ce_loss", "disc_acc", "policy_qf1_loss"):
+        assert np.isfinite(float(metrics[k])), k
+    # disc params replicated across shards after pmean'd updates
+    for leaf in jax.tree.leaves(runner.algo_state.disc_params):
+        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+        for s in shards[1:]:
+            np.testing.assert_allclose(s, shards[0], rtol=1e-5, atol=1e-6)
