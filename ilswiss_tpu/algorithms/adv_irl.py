@@ -64,6 +64,18 @@ class AdvIRLConfig:
     disc_hid_act: str = "relu"
     disc_use_bn: bool = True
     disc_clamp_magnitude: float = 10.0
+    # discriminator family (reference adv_irl/disc_models/):
+    #   mlp — per-transition MLPDisc (simple_disc_models.py)
+    #   rnn — trajectory-window GRU/LSTM disc with per-step logits
+    #         (rnn_disc_models.py); batches become [Bw, T] windows
+    #   cnn — image-observation conv disc (cnn_disc_models.py /
+    #         adv_irl_visual.py); obs must be [H, W, C] images
+    disc_type: str = "mlp"
+    disc_traj_len: int = 16          # rnn window length T
+    disc_rnn_cell: str = "gru"
+    disc_rnn_layers: int = 2
+    disc_rnn_bidirectional: bool = True
+    disc_num_filters: int = 32       # cnn trunk width
 
 
 @struct.dataclass
@@ -91,6 +103,7 @@ class AdvIRL:
         pixel encoder) instead of raw obs.  `feature_dim` is the
         encoder output width."""
         assert config.mode in ("airl", "gail", "gail2", "fairl"), config.mode
+        assert config.disc_type in ("mlp", "rnn", "cnn"), config.disc_type
         self.config = config
         self.obs_size = obs_size
         self.action_size = action_size
@@ -101,13 +114,34 @@ class AdvIRL:
         if feature_fn is not None:
             assert feature_dim is not None
             obs_size = feature_dim
-        self.disc = MLPDisc(
-            num_layer_blocks=config.disc_num_blocks,
-            hid_dim=config.disc_hid_dim,
-            hid_act=config.disc_hid_act,
-            use_bn=config.disc_use_bn,
-            clamp_magnitude=config.disc_clamp_magnitude,
-        )
+        if config.disc_type == "rnn":
+            from ilswiss_tpu.models.rnn_discriminators import RNNDisc
+            self.disc = RNNDisc(
+                hid_dim=config.disc_hid_dim,
+                cell_type=config.disc_rnn_cell,
+                num_layers=config.disc_rnn_layers,
+                bidirectional=config.disc_rnn_bidirectional,
+                clamp_magnitude=config.disc_clamp_magnitude,
+            )
+        elif config.disc_type == "cnn":
+            from ilswiss_tpu.models.discriminators import CNNDisc
+            assert not config.state_only, "cnn disc scores (obs, action)"
+            self.disc = CNNDisc(
+                num_filters=config.disc_num_filters,
+                num_layer_blocks=config.disc_num_blocks,
+                hid_dim=config.disc_hid_dim,
+                hid_act=config.disc_hid_act,
+                use_bn=False,
+                clamp_magnitude=config.disc_clamp_magnitude,
+            )
+        else:
+            self.disc = MLPDisc(
+                num_layer_blocks=config.disc_num_blocks,
+                hid_dim=config.disc_hid_dim,
+                hid_act=config.disc_hid_act,
+                use_bn=config.disc_use_bn,
+                clamp_magnitude=config.disc_clamp_magnitude,
+            )
         self.disc_tx = optax.adam(
             config.disc_lr, b1=config.disc_momentum, b2=0.999
         )
@@ -118,9 +152,22 @@ class AdvIRL:
     # ------------------------------------------------------------------
     def init(self, key: jax.Array) -> AdvIRLState:
         k_disc, k_pol = jax.random.split(key)
-        disc_params = self.disc.init(
-            k_disc, jnp.zeros((2, self.disc_input_dim)), train=True
-        )
+        if self.config.disc_type == "rnn":
+            disc_params = self.disc.init(
+                k_disc,
+                jnp.zeros((2, self.config.disc_traj_len,
+                           self.disc_input_dim)),
+            )
+        elif self.config.disc_type == "cnn":
+            obs_shape = self.expert_replay.data["obs"].shape[1:]
+            disc_params = self.disc.init(
+                k_disc, jnp.zeros((2,) + obs_shape),
+                jnp.zeros((2, self.action_size)), train=True,
+            )
+        else:
+            disc_params = self.disc.init(
+                k_disc, jnp.zeros((2, self.disc_input_dim)), train=True
+            )
         return AdvIRLState(
             disc_params=disc_params,
             disc_opt=self.disc_tx.init(disc_params["params"]),
@@ -140,8 +187,14 @@ class AdvIRL:
 
     # ------------------------------------------------------------------
     def _disc_input(self, state: "AdvIRLState",
-                    batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+                    batch: Dict[str, jnp.ndarray]):
+        """Disc inputs: a concat array for mlp/rnn ([.., D] resp.
+        [.., T, D]), or an (image_obs, action) tuple for cnn."""
         obs, next_obs = batch["obs"], batch.get("next_obs")
+        if self.config.disc_type == "cnn":
+            return (obs.astype(jnp.float32) / 255.0
+                    if obs.dtype == jnp.uint8 else obs,
+                    batch["action"])
         if self.feature_fn is not None:
             # visual variant: frozen encoder features (adv_irl_visual.py
             # detaches the encoder for disc inputs)
@@ -155,31 +208,76 @@ class AdvIRL:
 
     def _disc_forward(self, variables, x, train: bool):
         """Always returns (logits, batch_stats_updates_or_None)."""
+        if self.config.disc_type == "rnn":
+            return self.disc.apply(variables, x), None
+        if self.config.disc_type == "cnn":
+            return self.disc.apply(variables, x[0], x[1], train=train), None
         if self.config.disc_use_bn and train:
             return self.disc.apply(
                 variables, x, train=True, mutable=["batch_stats"]
             )
         return self.disc.apply(variables, x, train=train), None
 
+    @staticmethod
+    def _interpolate(key, expert_in, policy_in):
+        """Per-row eps-interpolates for the gradient penalty, elementwise
+        over however many input leaves the disc takes."""
+        def mix(e, p):
+            eps = jax.random.uniform(
+                key, (e.shape[0],) + (1,) * (e.ndim - 1))
+            return jax.lax.stop_gradient(eps * e + (1.0 - eps) * p)
+        return jax.tree.map(mix, expert_in, policy_in)
+
+    @staticmethod
+    def _grad_norm(grads):
+        """Per-row L2 norm over all non-batch dims of all input leaves."""
+        sq = sum(
+            jnp.sum(jnp.square(g.reshape(g.shape[0], -1)), axis=-1)
+            for g in jax.tree.leaves(grads)
+        )
+        return jnp.sqrt(jnp.maximum(sq, 1e-12))
+
     def _disc_update(self, state: AdvIRLState, replay: ReplayState,
                      key: jax.Array):
         cfg = self.config
         k_e, k_p, k_eps = jax.random.split(key, 3)
-        expert_batch = replay_sample(
-            state.expert, k_e, cfg.disc_optim_batch_size
-        )
-        policy_batch = replay_sample(replay, k_p, cfg.disc_optim_batch_size)
+        if cfg.disc_type == "rnn":
+            from ilswiss_tpu.data.replay import replay_sample_window
+            n_w = max(1, cfg.disc_optim_batch_size // cfg.disc_traj_len)
+            expert_batch = replay_sample_window(
+                state.expert, k_e, n_w, cfg.disc_traj_len)
+            policy_batch = replay_sample_window(
+                replay, k_p, n_w, cfg.disc_traj_len)
+            valid = jnp.concatenate(
+                [expert_batch["valid"], policy_batch["valid"]], axis=0
+            ).astype(jnp.float32)[..., None]          # [2Bw, T, 1]
+            n_rows = n_w
+            targets = jnp.concatenate([
+                jnp.ones((n_w, 1, 1)), jnp.zeros((n_w, 1, 1))
+            ], axis=0)                                 # broadcast over T
+        else:
+            expert_batch = replay_sample(
+                state.expert, k_e, cfg.disc_optim_batch_size
+            )
+            policy_batch = replay_sample(
+                replay, k_p, cfg.disc_optim_batch_size)
+            valid = None
+            n_rows = cfg.disc_optim_batch_size
+            targets = jnp.concatenate([
+                jnp.ones((n_rows, 1)), jnp.zeros((n_rows, 1))
+            ], axis=0)
         expert_in = self._disc_input(state, expert_batch)
         policy_in = self._disc_input(state, policy_batch)
-        x = jnp.concatenate([expert_in, policy_in], axis=0)
-        targets = jnp.concatenate([
-            jnp.ones((cfg.disc_optim_batch_size, 1)),
-            jnp.zeros((cfg.disc_optim_batch_size, 1)),
-        ], axis=0)
-        eps = jax.random.uniform(k_eps, (cfg.disc_optim_batch_size, 1))
-        interp = jax.lax.stop_gradient(
-            eps * expert_in + (1.0 - eps) * policy_in
+        if cfg.disc_type == "rnn":
+            # zero inputs past the episode boundary so the (possibly
+            # bidirectional) recurrence never mixes neighboring episodes
+            expert_in = expert_in * expert_batch["valid"][..., None]
+            policy_in = policy_in * policy_batch["valid"][..., None]
+        x = jax.tree.map(
+            lambda e, p: jnp.concatenate([e, p], axis=0),
+            expert_in, policy_in,
         )
+        interp = self._interpolate(k_eps, expert_in, policy_in)
         batch_stats = state.disc_params.get("batch_stats", None)
 
         def loss_fn(params):
@@ -188,20 +286,24 @@ class AdvIRL:
                 if batch_stats is not None else {"params": params}
             )
             logits, updates = self._disc_forward(variables, x, train=True)
-            # BCEWithLogits: mean(softplus(logits) - targets * logits)
-            ce = jnp.mean(
-                jax.nn.softplus(logits) - targets * logits
-            )
-            aux = {"ce": ce, "updates": updates,
-                   "acc": jnp.mean(((logits > 0) == targets).astype(jnp.float32))}
+            # BCEWithLogits: mean(softplus(logits) - targets * logits),
+            # masked to in-episode steps for trajectory discs
+            ce_rows = jax.nn.softplus(logits) - targets * logits
+            hit = ((logits > 0) == (targets > 0.5)).astype(jnp.float32)
+            if valid is not None:
+                denom = jnp.maximum(jnp.sum(valid), 1.0)
+                ce = jnp.sum(ce_rows * valid) / denom
+                acc = jnp.sum(hit * valid) / denom
+            else:
+                ce = jnp.mean(ce_rows)
+                acc = jnp.mean(hit)
+            aux = {"ce": ce, "updates": updates, "acc": acc}
             if cfg.use_grad_pen:
                 def disc_sum(x_in):
                     out = self._disc_forward(variables, x_in, train=True)[0]
                     return jnp.sum(out)
                 grads = jax.grad(disc_sum)(interp)
-                gp = jnp.mean(
-                    (jnp.linalg.norm(grads, axis=-1) - 1.0) ** 2
-                )
+                gp = jnp.mean((self._grad_norm(grads) - 1.0) ** 2)
                 aux["grad_pen"] = gp
                 return ce + cfg.grad_pen_weight * gp, aux
             aux["grad_pen"] = jnp.zeros(())
@@ -226,12 +328,8 @@ class AdvIRL:
         return state.replace(disc_params=disc_params, disc_opt=disc_opt), metrics
 
     # ------------------------------------------------------------------
-    def synthesize_rewards(self, state: AdvIRLState,
-                           batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    def _mode_reward(self, logits: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
-        x = self._disc_input(state, batch)
-        logits, _ = self._disc_forward(state.disc_params, x, train=False)
-        logits = jax.lax.stop_gradient(logits[..., 0])
         if cfg.mode == "airl":
             rew = logits
         elif cfg.mode == "gail":
@@ -246,22 +344,46 @@ class AdvIRL:
             rew = jnp.maximum(rew, cfg.rew_clip_min)
         return rew
 
+    def synthesize_rewards(self, state: AdvIRLState,
+                           batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        x = self._disc_input(state, batch)
+        logits, _ = self._disc_forward(state.disc_params, x, train=False)
+        return self._mode_reward(jax.lax.stop_gradient(logits[..., 0]))
+
     def _policy_update(self, state: AdvIRLState, replay: ReplayState,
                        key: jax.Array):
         cfg = self.config
         k_p, k_e, k_t = jax.random.split(key, 3)
-        n_exp = cfg.policy_optim_batch_size_from_expert
-        batch = replay_sample(
-            replay, k_p, cfg.policy_optim_batch_size - n_exp
-        )
-        if n_exp > 0:
-            exp = replay_sample(state.expert, k_e, n_exp)
-            batch = {
-                k: jnp.concatenate([batch[k], exp[k]], axis=0)
-                for k in batch
-            }
-        batch = dict(batch)
-        batch["reward"] = self.synthesize_rewards(state, batch)
+        if cfg.disc_type == "rnn":
+            # trajectory disc: sample windows so rewards come from the
+            # per-step logits in context, then train the inner policy on
+            # the flattened transitions (rewards past an episode edge
+            # are zeroed with the validity mask)
+            from ilswiss_tpu.data.replay import replay_sample_window
+            n_w = max(1, cfg.policy_optim_batch_size // cfg.disc_traj_len)
+            win = replay_sample_window(replay, k_p, n_w, cfg.disc_traj_len)
+            x = self._disc_input(state, win) * win["valid"][..., None]
+            logits, _ = self._disc_forward(state.disc_params, x,
+                                           train=False)
+            rew = self._mode_reward(
+                jax.lax.stop_gradient(logits[..., 0]))   # [Bw, T]
+            rew = rew * win["valid"].astype(jnp.float32)
+            flat = lambda v: v.reshape((-1,) + v.shape[2:])
+            batch = {k: flat(v) for k, v in win.items() if k != "valid"}
+            batch["reward"] = flat(rew)
+        else:
+            n_exp = cfg.policy_optim_batch_size_from_expert
+            batch = replay_sample(
+                replay, k_p, cfg.policy_optim_batch_size - n_exp
+            )
+            if n_exp > 0:
+                exp = replay_sample(state.expert, k_e, n_exp)
+                batch = {
+                    k: jnp.concatenate([batch[k], exp[k]], axis=0)
+                    for k in batch
+                }
+            batch = dict(batch)
+            batch["reward"] = self.synthesize_rewards(state, batch)
         policy_state, pol_metrics = self.policy_trainer.train_step(
             state.policy, batch, k_t
         )

@@ -24,8 +24,14 @@ def demos_to_replay_state(
     obs: np.ndarray, action: np.ndarray, reward: np.ndarray,
     next_obs: np.ndarray, terminal: np.ndarray,
     ep_id: np.ndarray | None = None,
+    stride: int = 1,
 ) -> ReplayState:
-    """Build a full expert ReplayState from flat transition arrays [N, ...]."""
+    """Build a full expert ReplayState from flat transition arrays [N, ...].
+
+    `stride` records the row distance between consecutive steps of one
+    trajectory (1 for traj-contiguous pickles; the vectorized collector
+    interleaves B envs so its stride is B) — trajectory-window sampling
+    (replay_sample_window) reads it back via env_ep's length."""
     n = obs.shape[0]
     data = {
         "obs": jnp.asarray(obs, jnp.float32),
@@ -41,6 +47,7 @@ def demos_to_replay_state(
         ep_id=jnp.asarray(ep_id, jnp.int32),
         ptr=jnp.zeros((), jnp.int32),
         size=jnp.asarray(n, jnp.int32),
+        env_ep=None if stride == 1 else jnp.zeros((stride,), jnp.int32),
     )
 
 

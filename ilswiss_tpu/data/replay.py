@@ -164,6 +164,40 @@ def replay_sample(state: ReplayState, key: jax.Array, batch_size: int
     return {k: v[idx] for k, v in state.data.items()}
 
 
+def replay_sample_window(state: ReplayState, key: jax.Array,
+                         num_windows: int, window: int
+                         ) -> Dict[str, jnp.ndarray]:
+    """Sample [Bw, T, ...] same-env trajectory windows with a same-
+    episode validity mask (for trajectory discriminators — the
+    reference's RNNDisc path consumes (batch, length, dim) windows).
+
+    Uses the lockstep write layout (consecutive steps of one env are
+    `write_batch` slots apart, like `replay_sample_nstep`); demo buffers
+    built traj-contiguously (env_ep=None, data/demo.py) have stride 1.
+    `valid` [Bw, T] marks the prefix of each window that stays inside
+    the episode of its first step; steps past the boundary (or into
+    unwritten/overwritten rows) are masked out.
+    """
+    capacity = state.data["reward"].shape[0]
+    stride = 1 if state.env_ep is None else state.env_ep.shape[0]
+    u = jax.random.uniform(key, (num_windows,))
+    idx = jnp.minimum(
+        (u * state.size.astype(jnp.float32)).astype(jnp.int32),
+        state.size - 1,
+    )
+    offs = (idx[:, None]
+            + jnp.arange(window, dtype=jnp.int32)[None, :] * stride
+            ) % capacity                                  # [Bw, T]
+    same_ep = state.ep_id[offs] == state.ep_id[idx][:, None]
+    in_range = offs < state.size
+    valid = jnp.cumprod(
+        (same_ep & in_range).astype(jnp.int32), axis=1
+    ).astype(bool)
+    out = {k: v[offs] for k, v in state.data.items()}
+    out["valid"] = valid
+    return out
+
+
 def replay_sample_nstep(state: ReplayState, key: jax.Array,
                         batch_size: int, n_step: int, discount: float
                         ) -> Dict[str, jnp.ndarray]:

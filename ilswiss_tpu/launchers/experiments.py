@@ -933,6 +933,15 @@ def run_adv_irl(variant: Dict[str, Any]):
             disc_use_bn=bool(variant.get("disc_use_bn", False)),
             disc_clamp_magnitude=float(
                 variant.get("disc_clamp_magnitude", 10.0)),
+            # spec-selectable disc family (reference
+            # adv_irl/disc_models/{simple,rnn,cnn}_disc_models.py)
+            disc_type=str(variant.get("disc_type", "mlp")),
+            disc_traj_len=int(variant.get("disc_traj_len", 16)),
+            disc_rnn_cell=str(variant.get("disc_rnn_cell", "gru")),
+            disc_rnn_layers=int(variant.get("disc_rnn_layers", 2)),
+            disc_rnn_bidirectional=bool(
+                variant.get("disc_rnn_bidirectional", True)),
+            disc_num_filters=int(variant.get("disc_num_filters", 32)),
         ),
     )
     if host:

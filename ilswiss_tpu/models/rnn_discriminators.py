@@ -16,27 +16,45 @@ from flax import linen as nn
 
 
 class RNNDisc(nn.Module):
-    """[B, T, feat] trajectories -> [B, 1] logits via a recurrent core.
+    """[B, T, feat] trajectory windows -> [B, T, 1] per-step logits.
 
-    cell_type: 'gru' | 'lstm' (reference supports both).
+    Matches the reference's shape contract (rnn_disc_models.py:71-86:
+    input linear -> stacked GRU/LSTM, optionally bidirectional -> per-
+    step scalar logit, clamped).  Per-step logits make the disc usable
+    both for trajectory-level BCE (mean over steps) and per-transition
+    reward synthesis.
+
+    cell_type: 'gru' | 'lstm'; `num_layers` stacked recurrences;
+    `bidirectional` concatenates a reversed pass (reference default).
     """
 
-    hid_dim: int = 128
+    hid_dim: int = 100
     cell_type: str = "gru"
+    num_layers: int = 2
+    bidirectional: bool = True
     clamp_magnitude: float = 10.0
+
+    def _cell(self, name):
+        return (
+            nn.GRUCell(features=self.hid_dim, name=name)
+            if self.cell_type == "gru"
+            else nn.OptimizedLSTMCell(features=self.hid_dim, name=name)
+        )
 
     @nn.compact
     def __call__(self, traj: jnp.ndarray) -> jnp.ndarray:
-        cell = (
-            nn.GRUCell(features=self.hid_dim, name="cell")
-            if self.cell_type == "gru"
-            else nn.OptimizedLSTMCell(features=self.hid_dim, name="cell")
-        )
-        rnn = nn.RNN(cell, name="rnn")
-        hs = rnn(traj)                       # [B, T, hid]
-        last = hs[:, -1, :]
-        x = nn.relu(nn.Dense(self.hid_dim, name="head")(last))
-        logits = nn.Dense(1, name="logit")(x)
+        x = nn.relu(nn.Dense(self.hid_dim, name="embed")(traj))
+        for layer in range(self.num_layers):
+            fwd = nn.RNN(self._cell(f"cell_f{layer}"),
+                         name=f"rnn_f{layer}")(x)
+            if self.bidirectional:
+                bwd = nn.RNN(self._cell(f"cell_b{layer}"),
+                             name=f"rnn_b{layer}",
+                             reverse=True, keep_order=True)(x)
+                x = jnp.concatenate([fwd, bwd], axis=-1)
+            else:
+                x = fwd
+        logits = nn.Dense(1, name="logit")(x)    # [B, T, 1]
         return jnp.clip(logits, -self.clamp_magnitude, self.clamp_magnitude)
 
 

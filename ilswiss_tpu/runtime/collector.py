@@ -55,4 +55,5 @@ def collect_transitions(vec_env: VectorEnv, act_fn: Callable,
     return demos_to_replay_state(
         flat(trs.obs), flat(trs.action), flat(trs.reward),
         flat(trs.next_obs), flat(trs.terminal), ep_id.reshape(T * B),
+        stride=B,
     )

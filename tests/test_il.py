@@ -184,3 +184,85 @@ def test_disc_separates_separable_data(demos):
         key, k = jax.random.split(key)
         state, m = step(state, k)
     assert float(m["disc_acc"]) > 0.95, float(m["disc_acc"])
+
+
+def test_gail_rnn_disc_epoch(demos):
+    """Trajectory-disc GAIL (reference rnn_disc_models.py path): disc
+    trains on [Bw, T] windows with per-step logits, policy trains on
+    flattened windows with in-context per-step rewards."""
+    from ilswiss_tpu.data.replay import replay_sample_window
+
+    win = replay_sample_window(demos, jax.random.PRNGKey(0), 6, 12)
+    assert win["obs"].shape == (6, 12, 3)
+    assert win["valid"].shape == (6, 12)
+    assert bool(win["valid"][:, 0].all())
+
+    sac = SAC(3, 1, SACConfig(), net_size=32, num_hidden_layers=1)
+    gail = AdvIRL(3, 1, sac, demos, AdvIRLConfig(
+        mode="gail", disc_type="rnn", disc_traj_len=8,
+        disc_hid_dim=32, disc_rnn_layers=1,
+        disc_optim_batch_size=64, policy_optim_batch_size=64,
+    ))
+    vec = make_vec("pendulum", num_envs=4)
+    loop = OffPolicyLoop(
+        vec, gail,
+        OffPolicyConfig(batch_size=64, replay_capacity=2048,
+                        min_steps_before_training=64),
+    )
+    warmup, epoch = loop.build(steps_per_epoch=64)
+    runner = warmup(loop.init(jax.random.PRNGKey(0)))
+    runner, metrics = epoch(runner)
+    for k in ("disc_ce_loss", "disc_acc", "disc_grad_pen",
+              "disc_rew_mean", "policy_qf1_loss"):
+        assert np.isfinite(float(metrics[k])), k
+    assert float(metrics["disc_rew_mean"]) >= 0.0  # gail softplus
+
+
+def test_visual_gail_cnn_disc_epoch():
+    """Visual GAIL end-to-end on pendulum_pixels: CNN disc on (image,
+    action), demo buffer of image transitions, fused loop epoch."""
+    vec = make_vec("pendulum_pixels", num_envs=2)
+    demos = collect_transitions(
+        vec, lambda obs, k: jax.random.uniform(k, (2, 1), minval=-1.0,
+                                               maxval=1.0),
+        60, jax.random.PRNGKey(3),
+    )
+    obs_shape = vec.env.observation_size
+    sac = SAC(int(np.prod(obs_shape)), 1, SACConfig(), net_size=32,
+              num_hidden_layers=1)
+
+    # flatten-image SAC adapter: the inner trainer sees flat obs
+    class FlatSAC:
+        def __init__(self, sac):
+            self.sac = sac
+        def init(self, key):
+            return self.sac.init(key)
+        def act(self, state, obs, key, deterministic=False):
+            return self.sac.act(
+                state, obs.reshape(obs.shape[0], -1).astype(jnp.float32)
+                / 255.0, key, deterministic=deterministic)
+        def train_step(self, state, batch, key):
+            b = dict(batch)
+            for k in ("obs", "next_obs"):
+                b[k] = (batch[k].reshape(batch[k].shape[0], -1)
+                        .astype(jnp.float32) / 255.0)
+            return self.sac.train_step(state, b, key)
+
+    gail = AdvIRL(int(np.prod(obs_shape)), 1, FlatSAC(sac), demos,
+                  AdvIRLConfig(
+                      mode="gail", disc_type="cnn", disc_hid_dim=32,
+                      disc_num_blocks=2, disc_num_filters=8,
+                      disc_optim_batch_size=16,
+                      policy_optim_batch_size=16,
+                      grad_pen_weight=1.0,
+                  ))
+    loop = OffPolicyLoop(
+        vec, gail,
+        OffPolicyConfig(batch_size=16, replay_capacity=512,
+                        min_steps_before_training=16),
+    )
+    warmup, epoch = loop.build(steps_per_epoch=8)
+    runner = warmup(loop.init(jax.random.PRNGKey(0)))
+    runner, metrics = epoch(runner)
+    for k in ("disc_ce_loss", "disc_acc", "disc_rew_mean"):
+        assert np.isfinite(float(metrics[k])), k

@@ -16,7 +16,8 @@ def test_rnn_disc_shapes():
         traj = jnp.zeros((4, 20, 7))  # [B, T, obs+act]
         params = disc.init(jax.random.PRNGKey(0), traj)
         logits = disc.apply(params, traj)
-        assert logits.shape == (4, 1)
+        # per-step logits, reference shape (rnn_disc_models.py forward)
+        assert logits.shape == (4, 20, 1)
         assert float(jnp.max(jnp.abs(logits))) <= 10.0
 
 
