@@ -332,7 +332,13 @@ def _run_off_policy(algo, vec, rl: Dict, logger: Logger, seed: int,
         runner = warmup(runner)
         logger.log(f"warmup done: {int(runner.total_env_steps)} env steps")
 
+    from ilswiss_tpu.utils.guards import (
+        PreemptionGuard, check_finite_metrics, enable_debug_nans,
+    )
     from ilswiss_tpu.utils.profiling import phase, trace
+    if (variant or {}).get("debug_nans"):
+        enable_debug_nans()
+    guard = PreemptionGuard()
     profile_dir = (variant or {}).get("profile_dir")
     for epoch in range(start_epoch, num_epochs):
         t0 = time.time()
@@ -340,6 +346,9 @@ def _run_off_policy(algo, vec, rl: Dict, logger: Logger, seed: int,
                 phase("train"):
             runner, metrics = train_epoch(runner)
             metrics = jax.device_get(metrics)
+        check_finite_metrics(
+            metrics, epoch, logger.log,
+            abort=bool((variant or {}).get("abort_on_nan", False)))
         train_time = time.time() - t0
 
         t0 = time.time()
@@ -363,6 +372,13 @@ def _run_off_policy(algo, vec, rl: Dict, logger: Logger, seed: int,
             steps_per_epoch / max(train_time, 1e-9))
         logger.dump_tabular(epoch)
         snap.on_epoch(epoch, runner, eval_stats)
+        if guard.should_stop:
+            # preemption notice: flush a resumable snapshot and exit
+            from ilswiss_tpu.runtime.checkpoint import save_checkpoint
+            save_checkpoint(os.path.join(snap.dir, "last"), runner)
+            logger.log(f"preemption flush at epoch {epoch}; exiting")
+            break
+    guard.restore()
     logger.close()
     return runner
 

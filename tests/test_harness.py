@@ -215,3 +215,28 @@ def test_run_eval_policy_end_to_end(tmp_path):
     assert np.isfinite(stats["AverageReturn"])
     saved = load_demos_npz(str(tmp_path / "run" / "eval_samples.npz"))
     assert int(saved.size) == 64
+
+
+def test_nan_guard_and_preemption_flag():
+    import os
+    import signal
+
+    import numpy as np
+    import pytest
+
+    from ilswiss_tpu.utils.guards import (
+        NonFiniteMetricError, PreemptionGuard, check_finite_metrics,
+    )
+
+    msgs = []
+    assert check_finite_metrics({"a": 1.0}, 0, msgs.append)
+    assert not check_finite_metrics({"a": float("nan")}, 1, msgs.append)
+    assert "NON-FINITE" in msgs[0]
+    with pytest.raises(NonFiniteMetricError):
+        check_finite_metrics({"q": np.inf}, 2, msgs.append, abort=True)
+
+    guard = PreemptionGuard(signals=(signal.SIGUSR1,))
+    assert not guard.should_stop
+    os.kill(os.getpid(), signal.SIGUSR1)
+    assert guard.should_stop
+    guard.restore()
