@@ -222,6 +222,10 @@ def _run_host_on_policy(algo, variant: Dict, p: Dict, rl: Dict,
 
 
 def _setup(variant: Dict, default_exp_name: str):
+    # persistent XLA compile cache: the tunneled TPU's remote compile
+    # service is slow (minutes/program); later runs load in seconds
+    from ilswiss_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     seed = int(variant.get("seed", 0))
     env_specs = _alg(variant, "env_specs")
     env_name = env_specs.get("env_name", "pendulum")
@@ -968,6 +972,126 @@ def run_adv_irl(variant: Dict[str, Any]):
     return _run_off_policy(algo, vec, rl, logger, seed, variant=variant)
 
 
+def _run_host_sac_ae(variant: Dict, rl: Dict, logger: Logger, seed: int,
+                     env_kwargs: Dict, num_envs: int):
+    """SAC-AE/RAD/CURL on DMC pixel envs: host rendering + stepping
+    (envs/host_dmc.py), uint8 device replay, jitted visual learner —
+    the reference's dmc2gym benchmarks (README.md:151-156 finger_spin /
+    reach_easy)."""
+    from functools import partial
+
+    import os as _os
+    _os.environ.setdefault("MUJOCO_GL", "egl")
+
+    from ilswiss_tpu.algorithms.sac_ae import SACAE, SACAEConfig
+    from ilswiss_tpu.data.aug_replay import augmented_sample
+    from ilswiss_tpu.data.augmentations import center_crop
+    from ilswiss_tpu.envs.host_dmc import DMCVectorEnv
+    from ilswiss_tpu.runtime.host_loop import (
+        HostLoopConfig, HostOffPolicyLoop,
+    )
+
+    env_specs = _alg(variant, "env_specs")
+    kwargs = dict(env_kwargs)
+    kwargs.pop("max_episode_steps", None)
+    kwargs.pop("visualize_reward", None)
+    kwargs.pop("from_pixels", None)
+    frame_stack = int(env_specs.get("frame_stack", 3))
+    env = DMCVectorEnv(num_envs=max(1, num_envs), seed=seed,
+                       frame_stack=frame_stack, **kwargs)
+    img_size = env.observation_size[0]
+
+    p = _alg(variant, "sac_params")
+    enc = _alg(variant, "encoder_params")
+    augs = tuple(variant.get("augs") or ())
+    crop_size = int(variant.get("crop_size", img_size))
+    use_cpc = int(p.get("cpc_update_freq", 0)) > 0
+
+    algo = SACAE(
+        action_size=env.action_size,
+        config=SACAEConfig(
+            image_size=crop_size if augs else img_size,
+            frame_channels=env.observation_size[-1],
+            feature_dim=int(enc.get("encoder_feature_dim",
+                                    variant.get("feature_dim", 50))),
+            num_conv_layers=int(enc.get("num_layers",
+                                        variant.get("num_conv_layers", 4))),
+            num_filters=int(enc.get("num_filters",
+                                    variant.get("num_filters", 32))),
+            discount=float(p.get("discount", 0.99)),
+            reward_scale=float(p.get("reward_scale", 1.0)),
+            policy_lr=float(p.get("policy_lr", 1e-3)),
+            qf_lr=float(p.get("qf_lr", 1e-3)),
+            encdec_lr=float(p.get("encdec_lr", 1e-3)),
+            init_alpha=float(p.get("alpha", 0.1)),
+            soft_target_tau=float(p.get("soft_target_tau", 0.01)),
+            enc_soft_target_tau=float(p.get("enc_soft_target_tau", 0.05)),
+            ac_update_freq=int(p.get("ac_update_freq", 2)),
+            encdec_update_freq=int(p.get("encdec_update_freq", 1)),
+            cpc_update_freq=int(p.get("cpc_update_freq", 0)),
+            target_update_freq=int(p.get("target_update_freq", 2)),
+        ),
+        net_size=int(variant.get("net_size", 1024)),
+        num_hidden_layers=int(variant.get("num_hidden_layers", 2)),
+    )
+    sample_fn = None
+    loop_algo = algo
+    if augs:
+        sample_fn = partial(augmented_sample, augs=augs,
+                            out_size=crop_size, cpc=use_cpc)
+
+        class _CropActing:
+            init = staticmethod(algo.init)
+            train_step = staticmethod(algo.train_step)
+
+            @staticmethod
+            def act(s, o, k, deterministic=False):
+                return algo.act(s, center_crop(o, crop_size), k,
+                                deterministic=deterministic)
+
+        loop_algo = _CropActing()
+
+    loop = HostOffPolicyLoop(env, loop_algo, HostLoopConfig(
+        batch_size=int(rl.get("batch_size", 128)),
+        replay_capacity=int(rl.get("replay_buffer_size", 100_000)),
+        steps_between_train_calls=int(
+            rl.get("num_steps_between_train_calls", 1000)),
+        train_steps_per_call=int(
+            rl.get("num_train_steps_per_train_call", 500)),
+        min_steps_before_training=int(
+            rl.get("min_steps_before_training", 1000)),
+    ), sample_fn=sample_fn)
+
+    steps_per_epoch = int(rl.get("num_steps_per_epoch", 10_000))
+    num_epochs = int(rl.get("num_epochs", 100))
+    num_eval_episodes = max(
+        1, int(rl.get("num_steps_per_eval", 10_000))
+        // int(rl.get("max_path_length", 1000)))
+    snap = SnapshotManager(
+        logger.log_dir, gap=int(rl.get("freq_saving", 10)),
+        save_best=bool(rl.get("save_best", True)))
+
+    runner = loop.init(seed=seed)
+    runner = loop.warmup(runner)
+    for epoch in range(num_epochs):
+        t0 = time.time()
+        runner, metrics = loop.train_epoch(runner, steps_per_epoch)
+        train_time = time.time() - t0
+        eval_stats = loop.evaluate(
+            runner, num_eval_episodes, seed=seed + epoch + 1)
+        logger.record_dict(metrics, prefix="trainer/")
+        logger.record_dict(eval_stats)
+        logger.record_tabular("TotalEnvSteps", runner.total_env_steps)
+        logger.record_tabular("TrainTime", train_time)
+        logger.record_tabular(
+            "EnvStepsPerSec", steps_per_epoch / max(train_time, 1e-9))
+        logger.dump_tabular(epoch)
+        snap.on_epoch(epoch, runner, eval_stats)
+    env.close()
+    logger.close()
+    return runner
+
+
 def run_sac_ae(variant: Dict[str, Any]):
     """Visual SAC-AE/RAD/CURL on pixel envs (reference
     run_scripts/sac_alpha_visual_exp_script.py)."""
@@ -979,6 +1103,11 @@ def run_sac_ae(variant: Dict[str, Any]):
 
     seed, env_name, env_kwargs, num_envs, rl, logger = _setup(
         variant, "sac_ae")
+    if env_name == "dmc":
+        # DMC pixel envs run on the host (envs/host_dmc.py, the
+        # reference's dmc2gym path: exp_specs/sac_ae/sac_ae_dmc_*.yaml)
+        return _run_host_sac_ae(variant, rl, logger, seed, env_kwargs,
+                                num_envs)
     vec = make_vec(env_name, num_envs=num_envs, **env_kwargs)
     img_size = vec.env.observation_size[0]
     p = _alg(variant, "sac_params")

@@ -69,7 +69,11 @@ def _cpu_device():
 
 class HostOffPolicyLoop:
     def __init__(self, env: GymVectorEnv, algo,
-                 config: HostLoopConfig = HostLoopConfig()):
+                 config: HostLoopConfig = HostLoopConfig(),
+                 sample_fn=None):
+        """`sample_fn(replay, key, batch_size)` overrides uniform
+        `replay_sample` — the augmented-batch hook (RAD/CURL,
+        data/aug_replay.py), same contract as OffPolicyLoop's."""
         self.env = env
         self.algo = algo
         self.config = config
@@ -106,7 +110,8 @@ class HostOffPolicyLoop:
                 def grad_step(carry, key):
                     algo_state = carry
                     k_s, k_t = jax.random.split(key)
-                    batch = replay_sample(replay, k_s, config.batch_size)
+                    draw = sample_fn or replay_sample
+                    batch = draw(replay, k_s, config.batch_size)
                     algo_state, metrics = algo.train_step(
                         algo_state, batch, k_t)
                     return algo_state, metrics
@@ -140,6 +145,7 @@ class HostOffPolicyLoop:
             replay=replay_init(
                 self.config.replay_capacity, self.env.observation_size,
                 self.env.action_size, write_batch=self.env.num_envs,
+                obs_dtype=getattr(self.env, "obs_dtype", jnp.float32),
             ),
             algo_state=self.algo.init(k_algo),
             total_env_steps=0,
@@ -225,8 +231,13 @@ class HostOffPolicyLoop:
             def snapshot_and_submit(r):
                 # CPU copies taken synchronously so the TPU train call's
                 # buffer donation can't invalidate what the collector
-                # thread reads
-                state_cpu = jax.device_put(r.algo_state, self.cpu)
+                # thread reads.  Must be a TRUE copy: device_put onto the
+                # array's own device (CPU backend) is a no-op alias, and
+                # the donated alias would be read by the collector thread
+                # after ingest_and_train frees it.
+                state_cpu = jax.tree.map(
+                    lambda x: jax.device_put(np.asarray(x), self.cpu),
+                    r.algo_state)
                 key = jax.random.fold_in(
                     jax.device_put(r.rng, self.cpu), r.total_env_steps)
                 return pool.submit(
