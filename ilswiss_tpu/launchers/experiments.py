@@ -711,7 +711,7 @@ def _resolve_expert_fn(variant: Dict, vec):
         expert = getattr(importlib.import_module(mod_name), fn_name)
         return lambda obs: expert(obs)
     from ilswiss_tpu.algorithms.sac import SAC, SACConfig
-    from ilswiss_tpu.runtime.checkpoint import restore_checkpoint
+    from ilswiss_tpu.runtime.checkpoint import restore_subtree
     path = variant["expert_policy_path"]
     sac = SAC(vec.env.observation_size, vec.env.action_size, SACConfig(),
               net_size=int(variant.get("expert_net_size",
@@ -719,8 +719,8 @@ def _resolve_expert_fn(variant: Dict, vec):
               num_hidden_layers=int(variant.get(
                   "expert_num_hidden_layers",
                   variant.get("num_hidden_layers", 2))))
-    template = {"algo_state": sac.init(jax.random.PRNGKey(0))}
-    algo_state = restore_checkpoint(path, template)["algo_state"]
+    template = sac.init(jax.random.PRNGKey(0))
+    algo_state = restore_subtree(path, template)
     key = jax.random.PRNGKey(0)
     return lambda obs: sac.act(algo_state, obs, key, deterministic=True)
 
@@ -1538,7 +1538,7 @@ def run_gen_expert(variant: Dict[str, Any]):
         controller = SCRIPTED_EXPERTS[env_name]
         act_fn = lambda obs, key: controller(obs)
     else:
-        from ilswiss_tpu.runtime.checkpoint import restore_checkpoint
+        from ilswiss_tpu.runtime.checkpoint import restore_subtree
         expert_path = str(variant["expert_path"])
         if host:
             obs_size, action_size = _host_env_sizes(env_name, env_kwargs)
@@ -1558,9 +1558,7 @@ def run_gen_expert(variant: Dict[str, Any]):
             algo = SAC(obs_size, action_size, SACConfig(),
                        net_size=net_size, num_hidden_layers=depth)
         template = algo.init(jax.random.PRNGKey(0))
-        restored = restore_checkpoint(
-            expert_path, {"algo_state": template})
-        algo_state = restored["algo_state"]
+        algo_state = restore_subtree(expert_path, template)
         act_fn = lambda obs, key: algo.act(
             algo_state, obs, key, deterministic=deterministic)
 

@@ -38,6 +38,50 @@ def restore_checkpoint(path: str, template: Any) -> Any:
     return restored
 
 
+def _index_raw(raw: Any, key_path) -> Any:
+    """Walk an Orbax raw-restored nested dict by a jax key path."""
+    for entry in key_path:
+        if hasattr(entry, "name"):       # GetAttrKey (dataclass field)
+            key = entry.name
+        elif hasattr(entry, "key"):      # DictKey
+            key = entry.key
+        else:                            # SequenceKey (tuple index)
+            key = entry.idx
+        if isinstance(raw, (list, tuple)):
+            raw = raw[int(key)]
+        else:
+            raw = raw[key] if key in raw else raw[str(key)]
+    return raw
+
+
+def restore_subtree(path: str, template: Any,
+                    key: str = "algo_state") -> Any:
+    """Restore one field of a saved runner pytree into `template`.
+
+    Snapshots hold the WHOLE runner (rng, env states, replay ring,
+    algo state, counters); consumers like demo generation
+    (run_gen_expert) and DAgger's frozen expert only need the algo
+    state.  Orbax can't partially restore into a mismatched template,
+    so: raw-restore (nested dicts of numpy arrays — topology-free, a
+    TPU-written snapshot loads on any backend), index the subtree, and
+    rebuild the typed pytree leaf-by-leaf along the template's key
+    paths."""
+    import numpy as np
+
+    with ocp.PyTreeCheckpointer() as ckpt:
+        meta = ckpt.metadata(_abs(path)).item_metadata
+        restore_args = jax.tree_util.tree_map(
+            lambda m: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+        raw = ckpt.restore(_abs(path), restore_args=restore_args)
+    sub = raw[key] if key else raw
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for key_path, leaf in paths_leaves:
+        v = _index_raw(sub, key_path)
+        leaves.append(jax.numpy.asarray(v, getattr(leaf, "dtype", None)))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 class SnapshotManager:
     """Decides when/where to write epoch snapshots."""
 
