@@ -67,9 +67,18 @@ def trajs_to_replay_state(trajs: List[Dict[str, np.ndarray]]) -> ReplayState:
 
 
 def save_demos_npz(path: str, state: ReplayState) -> None:
+    """Persist a demo buffer.  ep_ids are renumbered densely (0..N-1 in
+    order of first appearance) at save time — the vectorized collector
+    numbers episodes by env slot, and downstream `traj_num` subsetting
+    expects dense trajectory ids."""
+    ep = np.asarray(state.ep_id)
+    _, first, inverse = np.unique(ep, return_index=True, return_inverse=True)
+    # rank unique ids by first appearance
+    rank = np.empty(len(first), np.int32)
+    rank[np.argsort(first)] = np.arange(len(first), dtype=np.int32)
     np.savez_compressed(
         path,
-        ep_id=np.asarray(state.ep_id),
+        ep_id=rank[inverse],
         **{k: np.asarray(v) for k, v in state.data.items()},
     )
 
@@ -166,14 +175,25 @@ def minmax_demos(state: ReplayState, lo: np.ndarray, hi: np.ndarray,
 
 def subsample_trajs(state: ReplayState, num_trajs: int) -> ReplayState:
     """Keep the first `num_trajs` episodes (the reference's
-    `traj_num` demo subsetting in adv_irl_exp_script.py)."""
-    mask = np.asarray(state.ep_id) < num_trajs
+    `traj_num` demo subsetting in adv_irl_exp_script.py).
+
+    Episodes are identified by *unique* ep_id in order of first
+    appearance — the vectorized collector numbers episodes by env slot,
+    so ids need not be contiguous (e.g. {0, 2, 4, 6}); filtering on
+    `ep_id < num_trajs` would silently drop real trajectories.  Kept
+    episodes are renumbered densely 0..num_trajs-1."""
+    ep = np.asarray(state.ep_id)
+    _, first = np.unique(ep, return_index=True)
+    keep = ep[np.sort(first)][:num_trajs]
+    remap = {int(e): i for i, e in enumerate(keep)}
+    mask = np.isin(ep, keep)
     idx = np.nonzero(mask)[0]
+    new_ep = np.array([remap[int(e)] for e in ep[idx]], np.int32)
     return demos_to_replay_state(
         np.asarray(state.data["obs"])[idx],
         np.asarray(state.data["action"])[idx],
         np.asarray(state.data["reward"])[idx],
         np.asarray(state.data["next_obs"])[idx],
         np.asarray(state.data["terminal"])[idx],
-        np.asarray(state.ep_id)[idx],
+        new_ep,
     )

@@ -1024,6 +1024,7 @@ def _run_host_sac_ae(variant: Dict, rl: Dict, logger: Logger, seed: int,
             qf_lr=float(p.get("qf_lr", 1e-3)),
             encdec_lr=float(p.get("encdec_lr", 1e-3)),
             init_alpha=float(p.get("alpha", 0.1)),
+            alpha_lr=float(p.get("alpha_lr", 1e-3)),
             soft_target_tau=float(p.get("soft_target_tau", 0.01)),
             enc_soft_target_tau=float(p.get("enc_soft_target_tau", 0.05)),
             ac_update_freq=int(p.get("ac_update_freq", 2)),
@@ -1129,6 +1130,7 @@ def run_sac_ae(variant: Dict[str, Any]):
             qf_lr=float(p.get("qf_lr", 1e-3)),
             encdec_lr=float(p.get("encdec_lr", 1e-3)),
             init_alpha=float(p.get("alpha", 0.1)),
+            alpha_lr=float(p.get("alpha_lr", 1e-3)),
             soft_target_tau=float(p.get("soft_target_tau", 0.01)),
             enc_soft_target_tau=float(
                 p.get("enc_soft_target_tau", 0.05)),
