@@ -2,7 +2,7 @@
 
 Prints ONE JSON line.  Primary metric: env-steps/s of the fused on-device
 (act -> JAX-physics env step -> replay -> gradient step) loop on Hopper at
-the reference's update ratio (1 gradient step per env step, batch 256 —
+the reference's update ratio (1 gradient step per env step, batch 512 —
 exp_specs/sac/sac_hopper.yaml semantics).
 
 vs_baseline is MEASURED, not invented: the same SAC/Hopper config run
@@ -45,7 +45,7 @@ def _fused_hopper(num_envs=128, steps_per_epoch=12_800):
     loop = OffPolicyLoop(
         vec, sac,
         OffPolicyConfig(
-            batch_size=256,
+            batch_size=512,   # exp_specs/sac/sac_hopper.yaml batch size
             replay_capacity=1_000_000,
             min_steps_before_training=5_000,
             grad_steps_per_iter=num_envs,  # reference ratio 1 grad/env step
@@ -138,7 +138,7 @@ def main() -> None:
     result = {
         "metric": "sac_hopper_fused_env_steps_per_s",
         "value": round(fused, 1),
-        "unit": "env-steps/s (on-device Hopper, 1 grad/env step, batch 256)",
+        "unit": "env-steps/s (on-device Hopper, 1 grad/env step, batch 512)",
         "vs_baseline": (round(fused / host, 2) if host else None),
         "extra": {
             "host_path_baseline_env_steps_per_s": (

@@ -56,6 +56,16 @@ class SACConfig:
     target_entropy: float | None = None  # default -action_dim / 2
     init_alpha: float = 1.0
     train_alpha: bool = True
+    # Stability guard, not a reference knob: under nonstationary
+    # adversarial rewards (AdvIRL) the alpha control loop can ratchet —
+    # log_pi hovers just above -target_entropy while the disc dominates,
+    # and Adam's sign-following drives alpha up exponentially until Q
+    # diverges (observed: alpha 0.37 -> 2.5e8 in 60 epochs of
+    # GAIL-hopper).  Healthy equilibria sit at alpha ~0.05-1, so a
+    # [1e-6, 10] clamp is inert there and turns a diverged run into a
+    # recoverable one.
+    min_alpha: float = 1e-6
+    max_alpha: float = 10.0
 
 
 @struct.dataclass
@@ -267,6 +277,9 @@ class SAC:
                 ga, state.alpha_opt, state.log_alpha
             )
             log_alpha = optax.apply_updates(state.log_alpha, upa)
+            log_alpha = jnp.clip(
+                log_alpha,
+                jnp.log(cfg.min_alpha), jnp.log(cfg.max_alpha))
         else:
             alpha_opt = state.alpha_opt
             log_alpha = state.log_alpha

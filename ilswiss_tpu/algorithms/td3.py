@@ -43,6 +43,10 @@ class TD3Config:
     target_policy_noise_clip: float = 0.5
     policy_and_target_update_period: int = 2
     exploration_noise: float = 0.1
+    # > 0 enables the HER-TD3 explorer (reference
+    # MlpGaussianAndEpsilonPolicy): epsilon-probability whole-batch
+    # uniform actions + Gaussian sigma = exploration_noise otherwise
+    exploration_epsilon: float = 0.0
     # HER-TD3 clips targets into [-1/(1-gamma), 0] for sparse negative
     # rewards (reference her/td3.py:79-86)
     q_target_min: float = -jnp.inf
@@ -105,6 +109,15 @@ class TD3:
         action = self.policy.apply(state.policy_params, obs)
         if deterministic:
             return action
+        if self.config.exploration_epsilon > 0.0:
+            from ilswiss_tpu.exploration.strategies import (
+                gaussian_and_epsilon,
+            )
+            return gaussian_and_epsilon(
+                action, key,
+                epsilon=self.config.exploration_epsilon,
+                sigma=self.config.exploration_noise,
+            )
         return noisy_action(action, key, self.config.exploration_noise)
 
     def _pmean(self, g):

@@ -117,7 +117,16 @@ class DMCVectorEnv:
 
     def reset(self, seed: int | None = None) -> np.ndarray:
         if seed is not None:
+            # dm_control task RNGs are fixed at construction; honor the
+            # per-call seed contract (evaluate passes seed+10_000) by
+            # reseeding each env's task random state so initial-state
+            # randomization is actually controlled by `seed`
             self._rng = np.random.RandomState(seed)
+            for i, env in enumerate(self.envs):
+                task = getattr(env, "task", None) or getattr(
+                    env, "_task", None)
+                if task is not None and hasattr(task, "random"):
+                    task.random.seed(seed + i)
         futs = [self._execs[i].submit(self._reset_one, i)
                 for i in range(self.num_envs)]
         obs = np.stack([f.result() for f in futs])

@@ -37,7 +37,10 @@ import numpy as np
 
 from ilswiss_tpu.envs._locomotion_params import PARAMS
 from ilswiss_tpu.envs.base import Environment
-from ilswiss_tpu.ops.rigid_body import RigidModel, physics_step, site_positions
+from ilswiss_tpu.ops.rigid_body import (
+    RigidModel, cfrc_ext, com_quantities, physics_step, site_positions,
+)
+from ilswiss_tpu.ops import rigid_body as _rb
 
 _MODELS: dict[str, RigidModel] = {}
 
@@ -79,7 +82,10 @@ class LocomotionEnv(Environment):
         raise NotImplementedError
 
     # -- Environment API ----------------------------------------------
-    def _reset(self, key):
+    def _sample_state(self, key):
+        """Gym reset distribution: qpos0 + uniform(±scale) on qpos
+        (applied raw, quaternions included — gymnasium does the same)
+        and uniform or gaussian noise on qvel."""
         m = self.model
         kq, kv = jax.random.split(key)
         s = self.reset_noise_scale
@@ -90,13 +96,17 @@ class LocomotionEnv(Environment):
             qd = s * jax.random.normal(kv, (m.nv,), jnp.float32)
         else:
             qd = jax.random.uniform(kv, (m.nv,), jnp.float32, -s, s)
-        zero = jnp.zeros(m.nv, jnp.float32)
         warm = jnp.zeros(m.nrow, jnp.float32)
+        return q, qd, warm
+
+    def _reset(self, key):
+        q, qd, warm = self._sample_state(key)
+        zero = jnp.zeros(self.model.nv, jnp.float32)
         return (q, qd, warm), self._obs(q, qd, zero)
 
     def _step(self, internal, action, key):
         q0, qd0, warm = internal
-        q, qd, qfrc_con, warm = physics_step(
+        q, qd, qfrc_con, warm, _ = physics_step(
             self.model, q0, qd0, action, iters=self.solver_iters, f0=warm
         )
         obs = self._obs(q, qd, qfrc_con)
@@ -195,9 +205,125 @@ class InvertedDoublePendulumDevice(LocomotionEnv):
         return alive - dist_penalty - vel_penalty, terminal
 
 
+class AntDevice(LocomotionEnv):
+    """Ant-v5 semantics (free quaternion root, RK4, 25 plane-contact
+    candidates).  obs = [qpos[2:], qvel, clip(cfrc_ext[1:], ±1)];
+    reward = x_vel(torso) + healthy − 0.5·|a|² − 5e-4·Σclip(cfrc)²;
+    healthy: finite state and 0.2 ≤ z ≤ 1.0 (native/mjvec.cpp parity
+    comments; reference trains via gym registry rlkit/envs/envs_dict.py).
+
+    cfrc_ext is recomposed from the last substep's final forward
+    evaluation (RK4 stage 3) — exactly where gym's
+    mj_rnePostConstraint reads mjData's contacts and forces."""
+
+    name = "ant"
+    observation_size = 105
+    reset_noise_scale = 0.1
+    gaussian_qvel_noise = True
+
+    def _obs(self, q, qd, cfrc):
+        return jnp.concatenate([
+            q[2:], qd, jnp.clip(cfrc[1:].reshape(-1), -1.0, 1.0)
+        ])
+
+    def _reset(self, key):
+        q, qd, warm = self._sample_state(key)
+        # gym's reset skips mj_rnePostConstraint -> cfrc_ext obs are 0
+        zero_cfrc = jnp.zeros((self.model.nbody, 6), jnp.float32)
+        return (q, qd, warm), self._obs(q, qd, zero_cfrc)
+
+    def _step(self, internal, action, key):
+        q0, qd0, warm = internal
+        q, qd, _, warm, (q_ev, _) = physics_step(
+            self.model, q0, qd0, action, iters=self.solver_iters, f0=warm
+        )
+        cfrc = cfrc_ext(self.model, q_ev, warm)
+        obs = self._obs(q, qd, cfrc)
+        x_vel = (q[0] - q0[0]) / self.dt
+        healthy = (
+            jnp.all(jnp.isfinite(q)) & jnp.all(jnp.isfinite(qd))
+            & (q[2] >= 0.2) & (q[2] <= 1.0)
+        )
+        clipped = jnp.clip(cfrc, -1.0, 1.0)
+        contact_cost = 5e-4 * jnp.sum(jnp.square(clipped))
+        reward = (x_vel + healthy.astype(jnp.float32)
+                  - 0.5 * jnp.sum(jnp.square(action)) - contact_cost)
+        return (q, qd, warm), obs, reward, jnp.logical_not(healthy)
+
+
+class HumanoidDevice(LocomotionEnv):
+    """Humanoid-v5 semantics (free root + 17 hinges, RK4 at 3 ms).
+    obs = [qpos[2:], qvel, cinert[1:], cvel[1:], qfrc_actuator[6:],
+    cfrc_ext[1:]] (348 dims); reward = 1.25·com_x_vel + 5·healthy −
+    0.1·|ctrl|² − min(5e-7·Σcfrc², 10); healthy: 1 < z < 2."""
+
+    name = "humanoid"
+    observation_size = 348
+    reset_noise_scale = 0.01
+
+    def _obs(self, q, qd, cinert, cvel, qfrc_act, cfrc):
+        return jnp.concatenate([
+            q[2:], qd,
+            cinert[1:].reshape(-1), cvel[1:].reshape(-1),
+            qfrc_act[6:], cfrc[1:].reshape(-1),
+        ])
+
+    def _reset(self, key):
+        q, qd, warm = self._sample_state(key)
+        cinert, cvel, _ = com_quantities(self.model, q, qd)
+        zeros6 = jnp.zeros((self.model.nbody, 6), jnp.float32)
+        obs = self._obs(q, qd, cinert, cvel,
+                        jnp.zeros(self.model.nv, jnp.float32), zeros6)
+        return (q, qd, warm), obs
+
+    def _step(self, internal, action, key):
+        q0, qd0, warm = internal
+        _, _, com_before = com_quantities(self.model, q0, qd0)
+        q, qd, _, warm, (q_ev, qd_ev) = physics_step(
+            self.model, q0, qd0, action, iters=self.solver_iters, f0=warm
+        )
+        # gym's obs-side derived quantities come from mjData after the
+        # final forward evaluation (stale by one integration); the
+        # reward's mass-center displacement is measured fresh at the
+        # integrated states so the interval is exactly dt
+        cinert, cvel, _ = com_quantities(self.model, q_ev, qd_ev)
+        _, _, com_after = com_quantities(self.model, q, qd)
+        cfrc = cfrc_ext(self.model, q_ev, warm)
+        qfrc_act = _rb.actuation(self.model, action)
+        obs = self._obs(q, qd, cinert, cvel, qfrc_act, cfrc)
+        x_vel = (com_after[0] - com_before[0]) / self.dt
+        healthy = (q[2] > 1.0) & (q[2] < 2.0)
+        contact_cost = jnp.minimum(5e-7 * jnp.sum(jnp.square(cfrc)), 10.0)
+        reward = (1.25 * x_vel + 5.0 * healthy.astype(jnp.float32)
+                  - 0.1 * jnp.sum(jnp.square(action)) - contact_cost)
+        return (q, qd, warm), obs, reward, jnp.logical_not(healthy)
+
+
+class SwimmerDevice(LocomotionEnv):
+    """Swimmer-v5 semantics (planar slide-slide-hinge root; propulsion
+    comes from the inertia-box fluid model — swimmer.xml density 4000,
+    viscosity 0.1).  obs = [qpos[2:], qvel]; r = x_vel − 1e-4·|a|²;
+    never terminates."""
+
+    name = "swimmer"
+    observation_size = 8
+    reset_noise_scale = 0.1
+
+    def _obs(self, q, qd, qfrc_con):
+        return jnp.concatenate([q[2:], qd])
+
+    def _reward_terminal(self, q_before, q, qd, qfrc_con, action):
+        x_vel = (q[0] - q_before[0]) / self.dt
+        reward = x_vel - 1e-4 * jnp.sum(jnp.square(action))
+        return reward, jnp.zeros((), bool)
+
+
 def register_all(register) -> None:
     register("hopper", HopperDevice)
     register("walker", WalkerDevice)
     register("halfcheetah", HalfCheetahDevice)
+    register("ant", AntDevice)
+    register("humanoid", HumanoidDevice)
+    register("swimmer", SwimmerDevice)
     register("invertedpendulum", InvertedPendulumDevice)
     register("inverteddoublependulum", InvertedDoublePendulumDevice)

@@ -62,3 +62,33 @@ def epsilon_greedy(greedy_action: jnp.ndarray, key: jax.Array,
     )
     explore = jax.random.uniform(k_flip, greedy_action.shape) < epsilon
     return jnp.where(explore, random_action, greedy_action)
+
+
+def gaussian_and_epsilon(action: jnp.ndarray, key: jax.Array,
+                         epsilon: float = 0.3,
+                         sigma: float = 0.2,
+                         min_sigma: float | None = None,
+                         decay_period: int = 1_000_000,
+                         t: jnp.ndarray | None = None,
+                         low: float = -1.0, high: float = 1.0
+                         ) -> jnp.ndarray:
+    """The HER-TD3/GCSL explorer (reference MlpGaussianAndEpsilonPolicy,
+    rlkit/torch/common/policies.py:481-566): with probability epsilon the
+    WHOLE batched call returns uniform-random actions (the reference
+    draws one `random.random()` per get_actions call, then samples each
+    env's action independently); otherwise adds Gaussian noise whose
+    sigma decays linearly from `sigma` to `min_sigma` over
+    `decay_period` total env steps (defaults are equal -> constant 0.2).
+    """
+    if min_sigma is None:
+        min_sigma = sigma
+    k_flip, k_rand, k_noise = jax.random.split(key, 3)
+    if t is not None and min_sigma != sigma:
+        frac = jnp.clip(t.astype(jnp.float32) / decay_period, 0.0, 1.0)
+        sigma = sigma - (sigma - min_sigma) * frac
+    rand = jax.random.uniform(k_rand, action.shape, action.dtype, low, high)
+    noisy = jnp.clip(
+        action + sigma * jax.random.normal(k_noise, action.shape),
+        low, high)
+    take_rand = jax.random.uniform(k_flip, ()) < epsilon
+    return jnp.where(take_rand, rand, noisy)

@@ -1237,7 +1237,11 @@ def run_her(variant: Dict[str, Any]):
                 # reference her/td3.py:79-86 target clip
                 q_target_min=-1.0 / (1.0 - discount),
                 q_target_max=0.0,
-                exploration_noise=float(p.get("exploration_noise", 0.1)),
+                # reference her_td3 explorer: MlpGaussianAndEpsilonPolicy
+                # defaults epsilon=0.3, sigma=0.2 (policies.py:481-566)
+                exploration_noise=float(
+                    p.get("max_sigma", p.get("exploration_noise", 0.2))),
+                exploration_epsilon=float(p.get("epsilon", 0.3)),
             ),
             net_size=int(variant.get("net_size", 256)),
             num_hidden_layers=int(variant.get("num_hidden_layers", 2)),

@@ -127,6 +127,119 @@ def test_mass_matrix_and_bias(x64):
     np.testing.assert_allclose(bias, d.qfrc_bias, atol=1e-9)
 
 
+@pytest.mark.parametrize("name", ["ant", "humanoid", "swimmer"])
+def test_free_joint_models_match_mujoco(name, x64):
+    """M / bias / passive (incl. swimmer's fluid drag) / constrained
+    qacc parity for the quaternion-root models (ant, humanoid) and the
+    fluid-driven swimmer — the round-3 frontier: free-joint kinematics,
+    quasi-velocity Newton-Euler dynamics, pose-dependent contact
+    tangent frames."""
+    m, d = _mj(name)
+    model = rb.RigidModel(PARAMS[name])
+    rng = np.random.RandomState(0)
+    for _ in range(2):
+        q = m.qpos0 + rng.uniform(-0.1, 0.1, m.nq)
+        qd = rng.uniform(-1.0, 1.0, m.nv)
+        ctrl = rng.uniform(-0.4, 0.4, m.nu)
+        d.qpos[:] = q
+        d.qvel[:] = qd
+        d.ctrl[:] = ctrl
+        mujoco.mj_forward(m, d)
+
+        M = np.asarray(rb.mass_matrix(model, jax.numpy.asarray(q)))
+        full = np.zeros((m.nv, m.nv))
+        mujoco.mj_fullM(m, d, full)
+        np.testing.assert_allclose(M, full, atol=1e-10)
+
+        bias = np.asarray(rb.bias_forces(
+            model, jax.numpy.asarray(q), jax.numpy.asarray(qd)))
+        np.testing.assert_allclose(bias, d.qfrc_bias, atol=1e-9)
+
+        passive = np.asarray(rb.passive_forces(
+            model, jax.numpy.asarray(q), jax.numpy.asarray(qd)))
+        np.testing.assert_allclose(passive, d.qfrc_passive, atol=1e-9)
+
+        qacc = np.asarray(rb.forward(
+            model, jax.numpy.asarray(q), jax.numpy.asarray(qd),
+            jax.numpy.asarray(ctrl), iters=1000)[0])
+        scale = max(1.0, float(np.max(np.abs(d.qacc))))
+        np.testing.assert_allclose(qacc / scale, d.qacc / scale, atol=1e-8)
+
+
+def test_ant_grounded_contacts_and_cfrc(x64):
+    """Settle the ant with MuJoCo until its feet carry load (the
+    margin-active contact regime), then pin constrained qacc and the
+    recomposed cfrc_ext against mj_rnePostConstraint."""
+    m, d = _mj("ant")
+    model = rb.RigidModel(PARAMS["ant"])
+    d.qpos[:] = m.qpos0
+    for _ in range(400):
+        mujoco.mj_step(m, d)
+    ctrl = 0.3 * np.ones(m.nu)
+    d.ctrl[:] = ctrl
+    mujoco.mj_forward(m, d)
+    assert d.ncon >= 4  # all four feet in the margin-active band
+
+    q = np.asarray(d.qpos).copy()
+    qd = np.asarray(d.qvel).copy()
+    qacc, _, _, _, f = rb.forward(
+        model, jax.numpy.asarray(q), jax.numpy.asarray(qd),
+        jax.numpy.asarray(ctrl), iters=3000)
+    scale = max(1.0, float(np.max(np.abs(d.qacc))))
+    np.testing.assert_allclose(
+        np.asarray(qacc) / scale, d.qacc / scale, atol=1e-9)
+
+    mujoco.mj_rnePostConstraint(m, d)
+    ours = np.asarray(rb.cfrc_ext(model, jax.numpy.asarray(q), f))
+    np.testing.assert_allclose(ours, d.cfrc_ext, atol=1e-8)
+
+
+def test_humanoid_com_quantities(x64):
+    """cinert / cvel / mass-center parity (the humanoid observation's
+    com-based blocks, mjData.cinert & cvel after mj_comPos/mj_comVel)."""
+    m, d = _mj("humanoid")
+    model = rb.RigidModel(PARAMS["humanoid"])
+    rng = np.random.RandomState(2)
+    q = m.qpos0 + rng.uniform(-0.05, 0.05, m.nq)
+    qd = rng.uniform(-0.5, 0.5, m.nv)
+    d.qpos[:] = q
+    d.qvel[:] = qd
+    mujoco.mj_forward(m, d)
+    cin, cv, mcxy = rb.com_quantities(
+        model, jax.numpy.asarray(q), jax.numpy.asarray(qd))
+    np.testing.assert_allclose(np.asarray(cin), d.cinert, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(cv), d.cvel, atol=1e-10)
+    tot = float(np.sum(m.body_mass))
+    gx = float(np.sum(m.body_mass * d.xipos[:, 0])) / tot
+    gy = float(np.sum(m.body_mass * d.xipos[:, 1])) / tot
+    np.testing.assert_allclose(np.asarray(mcxy), [gx, gy], atol=1e-12)
+
+
+def test_quaternion_rollout_tracks_mujoco(x64):
+    """10 RK4 control steps of the ant from a perturbed init stay close
+    to mj_step — integration-semantics check for quaternion position
+    integration (mj_integratePos + per-step quat normalization)."""
+    m, d = _mj("ant")
+    model = rb.RigidModel(PARAMS["ant"])
+    step = jax.jit(
+        lambda q, qd, c: rb.physics_step(model, q, qd, c, iters=1000)[:2]
+    )
+    rng = np.random.RandomState(1)
+    q = m.qpos0 + rng.uniform(-0.01, 0.01, m.nq)
+    qd = rng.uniform(-0.01, 0.01, m.nv)
+    d.qpos[:] = q
+    d.qvel[:] = qd
+    jq, jqd = q.copy(), qd.copy()
+    for t in range(10):
+        ctrl = 0.3 * np.sin(0.3 * t + np.arange(m.nu))
+        d.ctrl[:] = ctrl
+        for _ in range(model.frame_skip):
+            mujoco.mj_step(m, d)
+        jq, jqd = (np.asarray(a) for a in step(jq, jqd, ctrl))
+        np.testing.assert_allclose(jq, d.qpos, atol=1e-4)
+    np.testing.assert_allclose(jqd, d.qvel, atol=1e-3)
+
+
 def test_site_positions(x64):
     """IDP tip site (drives its reward/termination) matches site_xpos."""
     m, d = _mj("inverteddoublependulum")
