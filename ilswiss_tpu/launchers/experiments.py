@@ -841,6 +841,66 @@ def run_eval_policy(variant: Dict[str, Any]):
     return stats
 
 
+def run_render_policy(variant: Dict[str, Any]):
+    """Render deterministic rollouts of a trained policy to mp4
+    (reference run_scripts/render_algorithm.py + video.py:12-29).
+
+    The policy checkpoint comes from any SAC-family run; frames come
+    from the matching gymnasium env (render_mode=rgb_array, EGL
+    headless) — the device envs are renderer-free by design, and their
+    v5-exact observation semantics make device-trained checkpoints act
+    directly on the gym observations."""
+    import os as _os
+    _os.environ.setdefault("MUJOCO_GL", "egl")
+    from ilswiss_tpu.algorithms.sac import SAC, SACConfig
+    from ilswiss_tpu.envs.host_mujoco import GYM_ENV_IDS
+    from ilswiss_tpu.logging.vistools import save_video
+    from ilswiss_tpu.runtime.checkpoint import restore_subtree
+    import gymnasium
+
+    seed, env_name, env_kwargs, num_envs, rl, logger = _setup(
+        variant, "render_policy")
+    gym_id = GYM_ENV_IDS.get(env_name, env_name)
+    env = gymnasium.make(gym_id, render_mode="rgb_array")
+    obs, _ = env.reset(seed=seed)
+    obs_size = int(np.prod(env.observation_space.shape))
+    action_size = int(np.prod(env.action_space.shape))
+
+    sac = SAC(obs_size, action_size, SACConfig(),
+              net_size=int(variant.get("policy_net_size", 256)),
+              num_hidden_layers=int(variant.get(
+                  "policy_num_hidden_layers", 2)))
+    algo_state = restore_subtree(
+        variant["policy_checkpoint"], sac.init(jax.random.PRNGKey(0)))
+
+    act = jax.jit(lambda o: sac.act(
+        algo_state, o, jax.random.PRNGKey(0), deterministic=True))
+
+    num_rollouts = int(variant.get("num_rollouts", 1))
+    max_path_length = int(variant.get(
+        "max_path_length", rl.get("max_path_length", 1000)))
+    fps = int(variant.get("fps", round(1.0 / env.unwrapped.dt)))
+    for r in range(num_rollouts):
+        obs, _ = env.reset(seed=seed + r)
+        frames, ret = [env.render()], 0.0
+        for _t in range(max_path_length):
+            a = np.asarray(act(np.asarray(obs, np.float32)))
+            obs, rew, term, trunc, _ = env.step(a)
+            ret += float(rew)
+            frames.append(env.render())
+            if term or trunc:
+                break
+        out = save_video(
+            np.stack(frames),
+            os.path.join(logger.log_dir, f"rollout_{r}.mp4"), fps=fps)
+        logger.log(f"rollout {r}: return {ret:.1f}, "
+                   f"{len(frames)} frames -> {out}")
+        logger.record_tabular(f"Return_{r}", ret)
+    logger.dump_tabular(0)
+    env.close()
+    logger.close()
+
+
 def run_adv_irl(variant: Dict[str, Any]):
     """GAIL/AIRL/FAIRL (reference run_scripts/adv_irl_exp_script.py),
     with demo-stats env scaling (scale_env_with_demo_stats /
@@ -1680,6 +1740,7 @@ EXPERIMENTS: Dict[str, Callable] = {
     "bc": run_bc,
     "dagger": run_dagger,
     "eval_policy": run_eval_policy,
+    "render_policy": run_render_policy,
     "adv_irl": run_adv_irl,
     "gail": run_adv_irl,
     "sac_ae": run_sac_ae,

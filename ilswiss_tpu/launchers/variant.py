@@ -62,8 +62,15 @@ def check_exp_spec_format(spec: Mapping[str, Any]) -> None:
     variables = spec.get("variables") or {}
     for k, v in flatten_dict(variables).items():
         if not isinstance(v, list):
+            # the reference's programmatic VariantGenerator supports
+            # lambda-dependent variables (launcher_util.py:514-620);
+            # its YAML spec path never uses them, and neither do we —
+            # fail loudly rather than silently producing a wrong grid
             raise ValueError(
-                f"variables leaf '{k}' must be a list of values, got {v!r}"
+                f"variables leaf '{k}' must be a list of values, got "
+                f"{v!r}. Dependent/computed variables (the reference's "
+                "VariantGenerator lambda feature) are not supported in "
+                "YAML specs — precompute the grid instead."
             )
 
 

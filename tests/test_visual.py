@@ -145,3 +145,39 @@ def test_encoder_policy_separation():
     p_before = jax.tree.leaves(state.policy_params)[0]
     p_after = jax.tree.leaves(new_state.policy_params)[0]
     assert not np.allclose(p_before, p_after)
+
+
+def test_color_jitter_pixels():
+    """Pixel-level checks for the RAD color jitter
+    (reference transform_layer.py ColorJitterLayer):
+    HSV round-trip vs colorsys, p=0 identity, jitter changes pixels
+    while staying in range and preserving the stack layout."""
+    import colorsys
+
+    from ilswiss_tpu.data.augmentations import (
+        _hsv2rgb, _rgb2hsv, color_jitter,
+    )
+
+    rng = np.random.RandomState(0)
+    px = rng.uniform(0.05, 0.95, (32, 3)).astype(np.float32)
+    hsv = np.asarray(_rgb2hsv(jnp.asarray(px)))
+    expect = np.array([colorsys.rgb_to_hsv(*p) for p in px])
+    np.testing.assert_allclose(hsv, expect, atol=1e-4)
+    # round trip
+    back = np.asarray(_hsv2rgb(jnp.asarray(hsv)))
+    np.testing.assert_allclose(back, px, atol=1e-4)
+
+    imgs = jnp.asarray(rng.uniform(0, 1, (4, 16, 16, 9)).astype(np.float32))
+    key = jax.random.PRNGKey(1)
+    out = color_jitter(key, imgs, p=0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(imgs), atol=1e-6)
+    out = color_jitter(key, imgs, p=1.0)
+    assert out.shape == imgs.shape
+    o = np.asarray(out)
+    assert 0.0 <= o.min() and o.max() <= 1.0
+    assert np.abs(o - np.asarray(imgs)).max() > 0.01
+    # identity factors -> identity transform
+    out_id = color_jitter(key, imgs, brightness=0.0, contrast=0.0,
+                          saturation=0.0, hue=0.0, p=1.0)
+    np.testing.assert_allclose(np.asarray(out_id), np.asarray(imgs),
+                               atol=1e-3)
