@@ -982,6 +982,22 @@ def run_adv_irl(variant: Dict[str, Any]):
             soft_target_tau=float(sp.get("soft_target_tau", 5e-3)),
             policy_lr=float(sp.get("policy_lr", 3e-4)),
             qf_lr=float(sp.get("qf_lr", 3e-4)),
+            # the reference runs ALL of GAIL-SAC's Adams (policy, Qs,
+            # alpha) at beta_1 from the spec — 0.25 for the gail
+            # configs (sac_alpha.py:60-76); missing this ran them at
+            # 0.9 and destabilized the alpha controller
+            beta_1=float(sp.get("beta_1", 0.9)),
+            policy_mean_reg_weight=float(
+                sp.get("policy_mean_reg_weight", 1e-3)),
+            policy_std_reg_weight=float(
+                sp.get("policy_std_reg_weight", 1e-3)),
+            # reference SoftActorCritic inits alpha=0.2 (sac_alpha.py:32)
+            init_alpha=float(sp.get("alpha", 0.2)),
+            # adversarial rewards are nonstationary; healthy GAIL-hopper
+            # alpha stays in 0.15-0.7, and past ~8 the collapse is
+            # irreversible — cap the controller well above the working
+            # band (engineering guard, spec-overridable)
+            max_alpha=float(sp.get("max_alpha", 2.0)),
         ),
         net_size=int(variant.get("policy_net_size", 256)),
         num_hidden_layers=int(variant.get("policy_num_hidden_layers", 2)),
@@ -1112,13 +1128,21 @@ def _run_host_sac_ae(variant: Dict, rl: Dict, logger: Logger, seed: int,
 
         loop_algo = _CropActing()
 
+    # the DMC specs train every 2 env steps (1 grad : 2 steps); running
+    # the host loop at that cadence costs a device->host param snapshot
+    # plus a [2, B]-segment jit call ~5000x per epoch.  Coarse-grain to
+    # >=100-step segments at the SAME update ratio: identical grads per
+    # env step, two orders of magnitude less per-call overhead.
+    steps_between = int(rl.get("num_steps_between_train_calls", 1000))
+    train_per_call = int(rl.get("num_train_steps_per_train_call", 500))
+    segment = max(steps_between, 100)
+    grads_per_segment = max(1, round(
+        segment * train_per_call / max(1, steps_between)))
     loop = HostOffPolicyLoop(env, loop_algo, HostLoopConfig(
         batch_size=int(rl.get("batch_size", 128)),
         replay_capacity=int(rl.get("replay_buffer_size", 100_000)),
-        steps_between_train_calls=int(
-            rl.get("num_steps_between_train_calls", 1000)),
-        train_steps_per_call=int(
-            rl.get("num_train_steps_per_train_call", 500)),
+        steps_between_train_calls=segment,
+        train_steps_per_call=grads_per_segment,
         min_steps_before_training=int(
             rl.get("min_steps_before_training", 1000)),
     ), sample_fn=sample_fn)
