@@ -66,6 +66,14 @@ class SACConfig:
     # recoverable one.
     min_alpha: float = 1e-6
     max_alpha: float = 10.0
+    # Optional Q-target clip — the reference's own pattern for
+    # bounded-reward settings (her/td3.py:79-86 clips sparse [-1,0]
+    # rewards' targets to [-1/(1-gamma), 0]).  AdvIRL's gail/gail2
+    # reward modes are bounded by the disc logit clamp, so run_adv_irl
+    # derives principled bounds; prevents the saturated-policy Q
+    # bootstrap runaway (observed +1.4e6 in GAIL-hopper collapse).
+    q_target_min: float | None = None
+    q_target_max: float | None = None
 
 
 @struct.dataclass
@@ -226,6 +234,11 @@ class SAC:
             rewards
             + (1.0 - terminals) * cfg.discount * (min_t_q - alpha * next_log_pi)
         )
+        if cfg.q_target_min is not None or cfg.q_target_max is not None:
+            q_target = jnp.clip(
+                q_target,
+                -jnp.inf if cfg.q_target_min is None else cfg.q_target_min,
+                jnp.inf if cfg.q_target_max is None else cfg.q_target_max)
 
         def qf_loss_fn(qf_params):
             q_pred = self.q_apply(qf_params, obs, actions)  # [2, B, 1]

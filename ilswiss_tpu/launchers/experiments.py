@@ -973,6 +973,27 @@ def run_adv_irl(variant: Dict[str, Any]):
             / max(1, int(rl.get("num_steps_between_train_calls", 1000)))))
 
     sp = _alg(variant, "sac_params")
+    # principled Q-target bounds from the reward mode: disc logits are
+    # clamped to +/-clamp, so gail rewards live in [0, clamp],
+    # gail2 in [-clamp, 0], airl in [-clamp, clamp] (adv_irl.py:276-298)
+    # and soft-Q targets in [r/(1-gamma)] bands (+/- a margin for the
+    # entropy bonus).  fairl's e^x(-x) is effectively unbounded -> None.
+    _clamp = float(variant.get("disc_clamp_magnitude", 10.0))
+    _scale = float(sp.get("reward_scale", 2.0))
+    _gamma = float(sp.get("discount", 0.99))
+    _margin = 10.0
+    _mode = str(p.get("mode", "gail"))
+    _bounds = {
+        "gail": (0.0, _scale * _clamp),
+        "gail2": (-_scale * _clamp, 0.0),
+        "airl": (-_scale * _clamp, _scale * _clamp),
+    }
+    if _mode in _bounds:
+        _rmin, _rmax = _bounds[_mode]
+        q_lo = (_rmin - _margin) / (1.0 - _gamma)
+        q_hi = (_rmax + _margin) / (1.0 - _gamma)
+    else:
+        q_lo = q_hi = None
     sac = SAC(
         obs_size=obs_size,
         action_size=action_size,
@@ -998,6 +1019,10 @@ def run_adv_irl(variant: Dict[str, Any]):
             # irreversible — cap the controller well above the working
             # band (engineering guard, spec-overridable)
             max_alpha=float(sp.get("max_alpha", 2.0)),
+            q_target_min=(float(sp["q_target_min"])
+                          if "q_target_min" in sp else q_lo),
+            q_target_max=(float(sp["q_target_max"])
+                          if "q_target_max" in sp else q_hi),
         ),
         net_size=int(variant.get("policy_net_size", 256)),
         num_hidden_layers=int(variant.get("policy_num_hidden_layers", 2)),
