@@ -20,7 +20,18 @@ _DEFAULT_DIR = os.path.join(
 )
 
 
-def enable_persistent_cache(cache_dir: str | None = None) -> str:
+def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
+    # TPU-only: XLA:CPU cache entries are AOT blobs whose recorded
+    # machine features can mismatch the loading host (observed SIGILL
+    # crashes in compilation_cache.get_executable_and_time on
+    # CPU-backend runs), and CPU compiles are fast anyway.
+    try:  # non-initializing check: configured platform list or env pin
+        platform = (getattr(jax.config, "jax_platforms", None)
+                    or os.environ.get("JAX_PLATFORMS", ""))
+    except Exception:
+        platform = ""
+    if "cpu" in str(platform):
+        return None
     cache_dir = cache_dir or os.environ.get(
         "ILSWISS_JAX_CACHE", _DEFAULT_DIR)
     os.makedirs(cache_dir, exist_ok=True)
