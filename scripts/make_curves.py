@@ -45,7 +45,16 @@ def render(csv_path: str) -> str | None:
     name = os.path.basename(os.path.dirname(run_dir))
 
     fig, ax = plt.subplots(figsize=(7, 4.2), dpi=120)
-    ax.plot(steps, ret, lw=1.4, label=f"{name} (this repo, TPU)")
+    ax.plot(steps, ret, lw=0.8, alpha=0.45, color="tab:blue")
+    # rolling mean (the reference's published curves are TB-smoothed)
+    k = max(1, min(9, len(ret) // 10))
+    if k > 1:
+        sm = [sum(ret[max(0, i - k + 1):i + 1])
+              / len(ret[max(0, i - k + 1):i + 1]) for i in range(len(ret))]
+    else:
+        sm = ret
+    ax.plot(steps, sm, lw=1.6, color="tab:blue",
+            label=f"{name} (this repo, TPU; smoothed)")
     for prefix, (mean, std, label) in REFERENCE_BANDS.items():
         if name.startswith(prefix):
             ax.axhline(mean, color="tab:green", ls="--", lw=1, label=label)
