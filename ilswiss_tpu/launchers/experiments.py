@@ -1156,11 +1156,18 @@ def _run_host_sac_ae(variant: Dict, rl: Dict, logger: Logger, seed: int,
     # the DMC specs train every 2 env steps (1 grad : 2 steps); running
     # the host loop at that cadence costs a device->host param snapshot
     # plus a [2, B]-segment jit call ~5000x per epoch.  Coarse-grain to
-    # >=100-step segments at the SAME update ratio: identical grads per
-    # env step, two orders of magnitude less per-call overhead.
+    # >=100-step segments at the SAME update ratio: the grads-per-env-
+    # step budget is identical, but updates arrive in bursts against a
+    # buffer/params that are up to one segment staler than the
+    # reference's strict every-2-steps interleaving.  Set
+    # `rl_alg_params: {exact_cadence: true}` for exact-cadence parity
+    # runs (slow on the tunneled chip).
     steps_between = int(rl.get("num_steps_between_train_calls", 1000))
     train_per_call = int(rl.get("num_train_steps_per_train_call", 500))
-    segment = max(steps_between, 100)
+    if bool(rl.get("exact_cadence", False)):
+        segment = steps_between
+    else:
+        segment = max(steps_between, 100)
     grads_per_segment = max(1, round(
         segment * train_per_call / max(1, steps_between)))
     loop = HostOffPolicyLoop(env, loop_algo, HostLoopConfig(

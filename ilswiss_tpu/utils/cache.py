@@ -32,6 +32,17 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
         platform = ""
     if "cpu" in str(platform):
         return None
+    if not str(platform):
+        # Nothing pinned: a host with no accelerator silently falls
+        # back to XLA:CPU, where cached AOT blobs can SIGILL on a
+        # different-CPU loader.  Resolve the actual backend (this
+        # initializes JAX, acceptable at entry points) and skip the
+        # cache unless a real accelerator is present.
+        try:
+            if jax.default_backend() == "cpu":
+                return None
+        except Exception:
+            return None
     cache_dir = cache_dir or os.environ.get(
         "ILSWISS_JAX_CACHE", _DEFAULT_DIR)
     os.makedirs(cache_dir, exist_ok=True)
