@@ -19,6 +19,7 @@ import time
 from typing import Any, Callable, Dict
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ilswiss_tpu.envs import make_vec
@@ -1785,8 +1786,146 @@ def _subsample_transitions(state, factor: int, seed: int):
         d["terminal"], ep[sel])
 
 
+def run_sac_vmapped_seeds(variant: Dict[str, Any]):
+    """Grid parallelism the TPU way (SURVEY.md §2.5 row 1): N independent
+    SAC seeds trained inside ONE jitted program, with the seed axis as a
+    leading vmap dimension over the whole runner pytree — env states,
+    replay rings, params, optimizer states and RNG streams all batch
+    together, so N seeds cost barely more wall-clock than one at the
+    latency-bound reference operating point (env_num=8/seed).
+
+    The reference runs one OS process per seed
+    (run_experiment.py:57-78, "multiple processing scheduling",
+    README.md:47); its published tables are mean±std over those processes
+    (README.md:142-149).  Spec: `constants.seeds: [s0, s1, ...]` selects
+    the seed axis; everything else follows the sac schema.  Each seed
+    writes its own `seed_<s>_id0/progress.csv`, plus an aggregate
+    `seeds_summary.csv` (mean/std of AverageReturn) at the exp root."""
+    from ilswiss_tpu.algorithms.sac import SAC, SACConfig
+    from ilswiss_tpu.logging.logger import Logger as _Logger
+
+    seeds = [int(s) for s in variant.get("seeds") or (0, 1, 2)]
+    env_specs = _alg(variant, "env_specs")
+    env_name = env_specs.get("env_name", "hopper")
+    env_kwargs = dict(env_specs.get("env_kwargs") or {})
+    rl = _alg(variant, "rl_alg_params")
+    max_path_length = int(rl.get("max_path_length", 1000))
+    env_kwargs.setdefault("max_episode_steps", max_path_length)
+    num_envs = int(env_specs.get("env_num", 8))
+    if _is_host_env(env_name):
+        raise ValueError(
+            "sac_vmap_seeds needs an on-device env (got host env "
+            f"{env_name!r}): the seed axis is a vmap dim")
+
+    from ilswiss_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    exp_dir = variant.get("log_dir") or os.path.join(
+        "logs", variant.get("exp_name", "sac_seeds"))
+    loggers = []
+    for s in seeds:
+        lg = _Logger(os.path.join(exp_dir, f"seed_{s}_id0"),
+                     print_to_console=False)
+        lg.save_variant({**variant, "seed": s})
+        loggers.append(lg)
+
+    vec = make_vec(env_name, num_envs=num_envs, **env_kwargs)
+    p = _alg(variant, "sac_params")
+    algo = SAC(
+        obs_size=vec.env.observation_size,
+        action_size=vec.env.action_size,
+        config=SACConfig(
+            discount=float(p.get("discount", 0.99)),
+            reward_scale=float(p.get("reward_scale", 1.0)),
+            soft_target_tau=float(p.get("soft_target_tau", 5e-3)),
+            policy_lr=float(p.get("policy_lr", 3e-4)),
+            qf_lr=float(p.get("qf_lr", 3e-4)),
+            alpha_lr=float(p.get("alpha_lr", 3e-4)),
+            target_entropy=p.get("target_entropy"),
+        ),
+        net_size=int(variant.get("net_size", 256)),
+        num_hidden_layers=int(variant.get("num_hidden_layers", 2)),
+    )
+    loop = OffPolicyLoop(vec, algo, OffPolicyConfig(
+        batch_size=int(rl.get("batch_size", 512)),
+        replay_capacity=int(rl.get("replay_buffer_size", 1_000_000)),
+        min_steps_before_training=int(
+            rl.get("min_steps_before_training", 5000)),
+        grad_steps_per_iter=_grad_steps_per_iter(rl, num_envs),
+    ))
+    steps_per_epoch = int(rl.get("num_steps_per_epoch", 10_000))
+    num_epochs = int(rl.get("num_epochs", 100))
+
+    warmup_fn, epoch_fn = loop.epoch_fns(steps_per_epoch)
+    warmup = jax.jit(jax.vmap(warmup_fn), donate_argnums=0)
+    train_epoch = jax.jit(jax.vmap(epoch_fn), donate_argnums=0)
+    ev = make_evaluator(
+        vec, lambda s, o, k: algo.act(s, o, k, deterministic=True),
+        max_path_length)
+    eval_seeds = jax.jit(jax.vmap(ev))
+
+    snap = SnapshotManager(
+        exp_dir, mode=str(rl.get("snapshot_mode", "gap_and_last")),
+        gap=int(rl.get("freq_saving", 10)),
+        save_best=bool(rl.get("save_best", True)))
+
+    runner = jax.vmap(loop.init)(
+        jnp.stack([jax.random.PRNGKey(s) for s in seeds]))
+    runner, start_epoch, _ = _maybe_resume(variant, loggers[0], runner)
+    if start_epoch == 0:
+        runner = warmup(runner)
+
+    import csv as _csv
+    summary_path = os.path.join(exp_dir, "seeds_summary.csv")
+    with open(summary_path, "a", newline="") as fh:
+        if fh.tell() == 0:
+            _csv.writer(fh).writerow(
+                ["Epoch", "TotalEnvSteps", "MeanAverageReturn",
+                 "StdAverageReturn"] + [f"Return_seed{s}" for s in seeds])
+
+    for epoch in range(start_epoch, num_epochs):
+        t0 = time.time()
+        runner, metrics = train_epoch(runner)
+        metrics = jax.device_get(metrics)
+        train_time = time.time() - t0
+        t0 = time.time()
+        ekeys = jnp.stack([
+            jax.random.PRNGKey(100_000 * (epoch + 1) + s) for s in seeds])
+        stats = jax.device_get(eval_seeds(runner.algo_state, ekeys))
+        eval_time = time.time() - t0
+        steps = np.asarray(jax.device_get(runner.total_env_steps))
+
+        rets = np.asarray(stats["AverageReturn"], np.float64)
+        for i, (s, lg) in enumerate(zip(seeds, loggers)):
+            lg.record_dict(
+                {k: float(np.asarray(v)[i]) for k, v in metrics.items()},
+                prefix="trainer/")
+            lg.record_dict(
+                {k: float(np.asarray(v)[i]) for k, v in stats.items()})
+            lg.record_tabular("TotalEnvSteps", int(steps[i]))
+            lg.record_tabular("TrainTime", train_time)
+            lg.record_tabular("EvalTime", eval_time)
+            lg.dump_tabular(epoch)
+        with open(summary_path, "a", newline="") as fh:
+            _csv.writer(fh).writerow(
+                [epoch, int(steps[0]), round(float(rets.mean()), 2),
+                 round(float(rets.std()), 2)]
+                + [round(float(r), 2) for r in rets])
+        print(f"[sac_vmap_seeds] epoch {epoch}: return "
+              f"{rets.mean():.1f} ± {rets.std():.1f} "
+              f"(seeds {np.round(rets, 1).tolist()}), "
+              f"{steps_per_epoch * len(seeds) / max(train_time, 1e-9):.0f}"
+              f" agg steps/s", flush=True)
+        snap.on_epoch(epoch, runner,
+                      {"AverageReturn": float(rets.mean())})
+    for lg in loggers:
+        lg.close()
+    return runner
+
+
 EXPERIMENTS: Dict[str, Callable] = {
     "sac": run_sac,
+    "sac_vmap_seeds": run_sac_vmapped_seeds,
     "sac_v": run_sac_v,
     "td3": run_td3,
     "ddpg": run_ddpg,
