@@ -35,7 +35,7 @@ from ilswiss_tpu.models.policies import TanhGaussianPolicy
 
 @dataclass(frozen=True)
 class GCSLConfig:
-    mode: str = "MSE"  # MLE | MSE  (CLASS for discrete later)
+    mode: str = "MSE"  # MLE | MSE | CLASS (discrete cross-entropy)
     lr: float = 1e-3
     use_horizons: bool = True
     max_horizon: int = 50  # one-hot width == max_episode_steps
@@ -55,7 +55,7 @@ class GCSL:
     def __init__(self, obs_size: int, goal_size: int, action_size: int,
                  config: GCSLConfig = GCSLConfig(),
                  net_size: int = 256, num_hidden_layers: int = 2):
-        assert config.mode in ("MLE", "MSE"), config.mode
+        assert config.mode in ("MLE", "MSE", "CLASS"), config.mode
         self.config = config
         self.obs_size = obs_size
         self.goal_size = goal_size
@@ -63,10 +63,19 @@ class GCSL:
         self.input_dim = obs_size + goal_size + (
             config.max_horizon if config.use_horizons else 0
         )
-        self.policy = TanhGaussianPolicy(
-            action_dim=action_size,
-            hidden_sizes=(net_size,) * num_hidden_layers,
-        )
+        if config.mode == "CLASS":
+            # discrete GCSL (reference gcsl.py:77-88 CLASS mode over a
+            # DiscretEnv action index, exp_specs/gcsl/gcsl_reach_dis.yaml)
+            from ilswiss_tpu.models.policies import CategoricalPolicy
+            self.policy = CategoricalPolicy(
+                num_actions=action_size,
+                hidden_sizes=(net_size,) * num_hidden_layers,
+            )
+        else:
+            self.policy = TanhGaussianPolicy(
+                action_dim=action_size,
+                hidden_sizes=(net_size,) * num_hidden_layers,
+            )
         self.tx = optax.adam(config.lr)
 
     def init(self, key: jax.Array) -> GCSLState:
@@ -91,6 +100,11 @@ class GCSL:
     def act(self, state: GCSLState, obs_dict, key,
             deterministic: bool = False):
         x = self._input(obs_dict, None)
+        if self.config.mode == "CLASS":
+            logits = self.policy.apply(state.policy_params, x)
+            if deterministic:
+                return jnp.argmax(logits, axis=-1)
+            return D.categorical_sample(key, logits)
         mean, log_std = self.policy.apply(state.policy_params, x)
         if deterministic:
             return jnp.tanh(mean)
@@ -107,6 +121,12 @@ class GCSL:
         acts = batch["action"]
 
         def loss_fn(params):
+            if self.config.mode == "CLASS":
+                logits = self.policy.apply(params, x)
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                idx = jnp.asarray(acts, jnp.int32)
+                return -jnp.mean(
+                    jnp.take_along_axis(logp, idx[:, None], axis=-1))
             mean, log_std = self.policy.apply(params, x)
             if self.config.mode == "MLE":
                 return -jnp.mean(
@@ -153,11 +173,17 @@ class GCSLLoop:
     def _collect(self, runner, random_actions: bool):
         rng, k_act = jax.random.split(runner.rng)
         if random_actions:
-            action = jax.random.uniform(
-                k_act,
-                (self.vec_env.num_envs, self.vec_env.env.action_size),
-                minval=-1.0, maxval=1.0,
-            )
+            if getattr(self.vec_env.env, "discrete", False):
+                action = jax.random.randint(
+                    k_act, (self.vec_env.num_envs,), 0,
+                    self.vec_env.env.action_size,
+                )
+            else:
+                action = jax.random.uniform(
+                    k_act,
+                    (self.vec_env.num_envs, self.vec_env.env.action_size),
+                    minval=-1.0, maxval=1.0,
+                )
         else:
             action = self.algo.act(
                 runner.algo_state, runner.env_state.obs, k_act

@@ -34,10 +34,20 @@ def random_crop(key: jax.Array, imgs: jnp.ndarray, out_size: int
 
 
 def center_crop(imgs: jnp.ndarray, out_size: int) -> jnp.ndarray:
-    """Deterministic eval-time crop."""
+    """Deterministic eval-time crop.  When out_size exceeds the source
+    (RAD 'translate' mode: 100px frames on a 108px canvas,
+    reference exp_specs/sac_rad/*.yaml image_size vs
+    pre_transform_image_size) this is a center-translate instead —
+    the image pasted centered on a zero canvas, matching RAD's
+    eval-time center_translate."""
     h = imgs.shape[1]
-    off = (h - out_size) // 2
-    return imgs[:, off:off + out_size, off:off + out_size, :]
+    if out_size <= h:
+        off = (h - out_size) // 2
+        return imgs[:, off:off + out_size, off:off + out_size, :]
+    b, _, w, c = imgs.shape
+    off = (out_size - h) // 2
+    canvas = jnp.zeros((b, out_size, out_size, c), imgs.dtype)
+    return jax.lax.dynamic_update_slice(canvas, imgs, (0, off, off, 0))
 
 
 def random_translate(key: jax.Array, imgs: jnp.ndarray, out_size: int

@@ -60,11 +60,16 @@ class HindsightReplayBuffer:
         obs_dim = self.env.observation_size
         goal_dim = self.env.goal_size
         act_dim = self.env.action_size
+        # discrete envs (DiscretEnv-wrapped, reference wrappers.py:411)
+        # store the action index, not a one-hot/continuous vector
+        action0 = (jnp.zeros((S, T), jnp.int32)
+                   if getattr(self.env, "discrete", False)
+                   else jnp.zeros((S, T, act_dim)))
         data = {
             "observation": jnp.zeros((S, T, obs_dim)),
             "achieved_goal": jnp.zeros((S, T, goal_dim)),
             "desired_goal": jnp.zeros((S, T, goal_dim)),
-            "action": jnp.zeros((S, T, act_dim)),
+            "action": action0,
             "reward": jnp.zeros((S, T)),
             "terminal": jnp.zeros((S, T)),
             "next_observation": jnp.zeros((S, T, obs_dim)),

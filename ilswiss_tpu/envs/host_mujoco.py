@@ -37,6 +37,7 @@ GYM_ENV_IDS: Dict[str, str] = {
     "invertedpendulum": "InvertedPendulum-v5",
     "inverteddoublependulum": "InvertedDoublePendulum-v5",
     "lunarlandercont": "LunarLanderContinuous-v3",
+    "bipedalwalker": "BipedalWalker-v3",
     "fetch-reach": "FetchReach-v4",
     "fetch-push": "FetchPush-v4",
     "fetch-pick-place": "FetchPickAndPlace-v4",

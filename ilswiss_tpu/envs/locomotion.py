@@ -318,12 +318,42 @@ class SwimmerDevice(LocomotionEnv):
         return reward, jnp.zeros((), bool)
 
 
+class AntTruncObsDevice(AntDevice):
+    """MBPO's truncated-observation ant: drop the 78 clipped-cfrc dims,
+    obs = [qpos[2:], qvel] (27), so the BNN dynamics model predicts only
+    pose/velocity.  The reference's exp_specs/mbpo/mbpo_ant.yaml names
+    'ant_trunc_obs' but its envs_dict never registers it (bit-rot,
+    SURVEY §5.9); semantics follow the MBPO codebase's
+    AntTruncatedObsEnv.  Reward/termination identical to ant."""
+
+    name = "ant_trunc_obs"
+    observation_size = 27
+
+    def _obs(self, q, qd, cfrc):
+        return jnp.concatenate([q[2:], qd])
+
+
+class HumanoidTruncObsDevice(HumanoidDevice):
+    """MBPO's truncated-observation humanoid: obs = [qpos[2:], qvel]
+    (45), dropping cinert/cvel/qfrc_actuator/cfrc_ext
+    (reference mbpo_humanoid.yaml 'humanoid_trunc_obs';
+    MBPO HumanoidTruncatedObsEnv semantics)."""
+
+    name = "humanoid_trunc_obs"
+    observation_size = 45
+
+    def _obs(self, q, qd, cinert, cvel, qfrc_act, cfrc):
+        return jnp.concatenate([q[2:], qd])
+
+
 def register_all(register) -> None:
     register("hopper", HopperDevice)
     register("walker", WalkerDevice)
     register("halfcheetah", HalfCheetahDevice)
     register("ant", AntDevice)
+    register("ant_trunc_obs", AntTruncObsDevice)
     register("humanoid", HumanoidDevice)
+    register("humanoid_trunc_obs", HumanoidTruncObsDevice)
     register("swimmer", SwimmerDevice)
     register("invertedpendulum", InvertedPendulumDevice)
     register("inverteddoublependulum", InvertedDoublePendulumDevice)

@@ -99,3 +99,9 @@ def humanoid_terminal(obs, act, next_obs):
     height = next_obs[:, 0]
     healthy = (height > 1.0) & (height < 2.0)
     return jnp.logical_not(healthy)
+
+
+# MBPO's truncated-obs variants keep torso height at obs[:, 0], so the
+# terminal predicates are shared (reference mbpo_{ant,humanoid}.yaml)
+register_terminal("ant_trunc_obs")(ant_terminal)
+register_terminal("humanoid_trunc_obs")(humanoid_terminal)

@@ -33,6 +33,13 @@ class _DelegatingEnv(Environment):
         self.max_episode_steps = inner.max_episode_steps
         self.action_low = inner.action_low
         self.action_high = inner.action_high
+        # goal-env surface (HER/GCSL): forward when the inner env is
+        # goal-conditioned so wrappers (e.g. DiscretEnv for
+        # gcsl_reach_dis) compose with the hindsight buffers
+        if hasattr(inner, "goal_size"):
+            self.goal_size = inner.goal_size
+        if hasattr(inner, "compute_reward"):
+            self.compute_reward = inner.compute_reward
 
 
 class ScaledEnv(_DelegatingEnv):

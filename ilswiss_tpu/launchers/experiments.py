@@ -1074,6 +1074,21 @@ def run_adv_irl(variant: Dict[str, Any]):
     return _run_off_policy(algo, vec, rl, logger, seed, variant=variant)
 
 
+def _visual_augs(variant: Dict, img_size: int) -> tuple[tuple, int]:
+    """Resolve RAD/CURL augmentation knobs.  Accepts both the repo's
+    explicit `augs`/`crop_size` and the reference's
+    `augmentation_params` section (sac_rad_dmc_*.yaml: `data_augs`
+    dash-joined string, `image_size` = post-augmentation size — larger
+    than the render for 'translate', smaller for 'crop')."""
+    aug_p = _alg(variant, "augmentation_params")
+    augs = tuple(variant.get("augs") or ())
+    if not augs and aug_p.get("data_augs"):
+        augs = tuple(a.strip() for a in
+                     str(aug_p["data_augs"]).split("-") if a.strip())
+    crop = variant.get("crop_size", aug_p.get("image_size", img_size))
+    return augs, int(crop)
+
+
 def _run_host_sac_ae(variant: Dict, rl: Dict, logger: Logger, seed: int,
                      env_kwargs: Dict, num_envs: int):
     """SAC-AE/RAD/CURL on DMC pixel envs: host rendering + stepping
@@ -1105,8 +1120,7 @@ def _run_host_sac_ae(variant: Dict, rl: Dict, logger: Logger, seed: int,
 
     p = _alg(variant, "sac_params")
     enc = _alg(variant, "encoder_params")
-    augs = tuple(variant.get("augs") or ())
-    crop_size = int(variant.get("crop_size", img_size))
+    augs, crop_size = _visual_augs(variant, img_size)
     use_cpc = int(p.get("cpc_update_freq", 0)) > 0
 
     algo = SACAE(
@@ -1229,8 +1243,7 @@ def run_sac_ae(variant: Dict[str, Any]):
     vec = make_vec(env_name, num_envs=num_envs, **env_kwargs)
     img_size = vec.env.observation_size[0]
     p = _alg(variant, "sac_params")
-    augs = tuple(variant.get("augs") or ())
-    crop_size = int(variant.get("crop_size", img_size))
+    augs, crop_size = _visual_augs(variant, img_size)
     use_cpc = int(p.get("cpc_update_freq", 0)) > 0
 
     algo = SACAE(
@@ -1467,7 +1480,20 @@ def run_gcsl(variant: Dict[str, Any]):
 
     seed, env_name, env_kwargs, num_envs, rl, logger = _setup(
         variant, "gcsl")
-    vec = make_vec(env_name, num_envs=num_envs, **env_kwargs)
+    env_specs = _alg(variant, "env_specs")
+    if bool(env_specs.get("discretize", False)):
+        # discrete GCSL (reference gcsl_reach_dis.yaml: DiscretEnv with
+        # `granularity` levels per action dim + CLASS-mode policy)
+        from ilswiss_tpu.envs import make
+        from ilswiss_tpu.envs.vector import VectorEnv
+        from ilswiss_tpu.envs.wrappers import DiscretEnv
+        dk = dict(env_specs.get("discret_kwargs") or {})
+        inner = DiscretEnv(make(env_name, **env_kwargs),
+                           granularity=int(dk.get("granularity", 10)),
+                           possible_actions=dk.get("possible_actions"))
+        vec = VectorEnv(inner, num_envs)
+    else:
+        vec = make_vec(env_name, num_envs=num_envs, **env_kwargs)
     env = vec.env
     p = _alg(variant, "gcsl_params")
     gcsl = GCSL(
@@ -1646,13 +1672,54 @@ def run_gen_expert(variant: Dict[str, Any]):
     subsample = max(1, int(variant.get("subsample_factor", 1)))
     steps_per_env = -(-num_rollouts * max_path_length // num_envs)
     deterministic = bool(variant.get("use_deterministic_expert", True))
-    host = _route_host(variant, env_name)
+    is_dmc = env_name == "dmc"
+    host = False if is_dmc else _route_host(variant, env_name)
 
     # --- expert policy -> act_fn(obs[B,...], key) -> action[B,...]
     scripted = bool(variant.get("use_scripted_policy", False))
     algo = None
     algo_state = None
-    if scripted:
+    dmc_env = None
+    if is_dmc:
+        # pixel expert on DMC (reference gen_expert/finger_spin.yaml):
+        # host-rendered frames + a trained SAC-AE/RAD/CURL checkpoint
+        from ilswiss_tpu.algorithms.sac_ae import SACAE, SACAEConfig
+        from ilswiss_tpu.data.augmentations import center_crop
+        from ilswiss_tpu.envs.host_dmc import DMCVectorEnv
+        from ilswiss_tpu.runtime.checkpoint import restore_subtree
+
+        env_specs = _alg(variant, "env_specs")
+        kw = dict(env_kwargs)
+        for drop in ("max_episode_steps", "visualize_reward",
+                     "from_pixels"):
+            kw.pop(drop, None)
+        dmc_env = DMCVectorEnv(
+            num_envs=num_envs, seed=seed,
+            frame_stack=int(env_specs.get("frame_stack", 3)), **kw)
+        img_size = dmc_env.observation_size[0]
+        enc = _alg(variant, "encoder_params")
+        augs, crop_size = _visual_augs(variant, img_size)
+        algo = SACAE(
+            action_size=dmc_env.action_size,
+            config=SACAEConfig(
+                image_size=crop_size if augs else img_size,
+                frame_channels=dmc_env.observation_size[-1],
+                feature_dim=int(enc.get("encoder_feature_dim", 50)),
+                num_conv_layers=int(enc.get("num_layers", 4)),
+                num_filters=int(enc.get("num_filters", 32)),
+            ),
+            net_size=int(variant.get("net_size", 1024)),
+            num_hidden_layers=int(variant.get("num_hidden_layers", 2)),
+        )
+        template = algo.init(jax.random.PRNGKey(0))
+        algo_state = restore_subtree(str(variant["expert_path"]), template)
+
+        def act_fn(obs, key, _augs=augs, _crop=crop_size):
+            if _augs:
+                obs = center_crop(obs, _crop)
+            return algo.act(algo_state, obs, key,
+                            deterministic=deterministic)
+    elif scripted:
         from ilswiss_tpu.envs.experts import SCRIPTED_EXPERTS
         if env_name not in SCRIPTED_EXPERTS:
             raise KeyError(
@@ -1686,10 +1753,10 @@ def run_gen_expert(variant: Dict[str, Any]):
             algo_state, obs, key, deterministic=deterministic)
 
     # --- roll out
-    if host:
+    if host or is_dmc:
         demos = _collect_host_transitions(
             variant, env_name, env_kwargs, num_envs, seed,
-            act_fn, steps_per_env, logger)
+            act_fn, steps_per_env, logger, env=dmc_env)
     else:
         from ilswiss_tpu.runtime.collector import collect_transitions
         vec = make_vec(env_name, num_envs=num_envs, **env_kwargs)
@@ -1730,13 +1797,16 @@ def run_gen_expert(variant: Dict[str, Any]):
 
 
 def _collect_host_transitions(variant, env_name, env_kwargs, num_envs,
-                              seed, act_fn, steps_per_env, logger):
-    """Roll a policy over a host (gymnasium/native) vec env and pack the
-    transitions into a demo ReplayState."""
+                              seed, act_fn, steps_per_env, logger,
+                              env=None):
+    """Roll a policy over a host (gymnasium/native/DMC) vec env and pack
+    the transitions into a demo ReplayState.  Pass `env` to reuse a
+    pre-built vec env (the DMC pixel path); it is closed on exit."""
     from ilswiss_tpu.data.demo import demos_to_replay_state
 
-    env = _make_host_env(variant, env_name, dict(env_kwargs), num_envs,
-                         seed, logger)
+    if env is None:
+        env = _make_host_env(variant, env_name, dict(env_kwargs),
+                             num_envs, seed, logger)
     try:
         obs = env.reset(seed=seed)
         key = jax.random.PRNGKey(seed)
