@@ -153,3 +153,127 @@ class DistributedOffPolicyRunner:
             donate_argnums=0,
         )
         return warmup, epoch
+
+
+def restore_across_topology(path: str,
+                            factory: DistributedOffPolicyRunner
+                            ) -> RunnerState:
+    """Resume a distributed checkpoint on a DIFFERENT mesh shape.
+
+    The preemption-recovery case (SURVEY.md §5.3): a job saved on an
+    8-device mesh restarts on whatever slice is available.  Replicated
+    state (params, optimizers) and the global env batch reshard
+    trivially; the genuinely topology-shaped state is migrated:
+
+      * replay shards: each old shard's valid rows are unrolled in ring
+        (oldest-first) order, concatenated into one logical stream, and
+        re-packed contiguously into the new shard regions (ptr/size
+        recomputed) — no transition is lost or duplicated;
+      * rng: fresh per-shard chains folded from the old shard-0 key
+        (key chains are not mergeable across topologies by design);
+      * total_env_steps: the global sum redistributed (remainder to
+        shard 0) so the logged total is unchanged.
+
+    Requires the same GLOBAL env count and replay capacity; raises
+    otherwise.  Same-topology restores should use
+    runtime.checkpoint.restore_checkpoint (exact resume)."""
+    import numpy as np
+
+    from ilswiss_tpu.runtime.checkpoint import raw_restore
+
+    raw = raw_restore(path)
+    n_old = int(np.asarray(raw["total_env_steps"]).shape[0])
+    n_new = factory.n_shards
+    cap_new = factory.loop.config.replay_capacity
+    g_rows = int(np.asarray(raw["replay"]["ep_id"]).shape[0])
+    if g_rows != n_new * cap_new:
+        raise ValueError(
+            f"global replay capacity mismatch: checkpoint has {g_rows} "
+            f"rows, target mesh wants {n_new} x {cap_new}")
+    cap_old = g_rows // n_old
+
+    ptr_old = np.asarray(raw["replay"]["ptr"], np.int64)
+    size_old = np.asarray(raw["replay"]["size"], np.int64)
+
+    # ring-order (oldest-first) row indices of each old shard
+    order = []
+    for i in range(n_old):
+        base = i * cap_old
+        s, p = int(size_old[i]), int(ptr_old[i])
+        if s < cap_old:
+            idx = np.arange(s)
+        else:
+            idx = np.concatenate([np.arange(p, cap_old), np.arange(p)])
+        order.append(base + idx)
+    order = (np.concatenate(order) if order
+             else np.zeros((0,), np.int64))
+    total_valid = order.shape[0]
+
+    # contiguous re-pack into new shard regions
+    sizes_new = np.zeros((n_new,), np.int64)
+    remaining = total_valid
+    for j in range(n_new):
+        sizes_new[j] = min(cap_new, remaining)
+        remaining -= sizes_new[j]
+    dst_rows = np.concatenate([
+        j * cap_new + np.arange(sizes_new[j]) for j in range(n_new)
+    ]) if total_valid else np.zeros((0,), np.int64)
+
+    def repack(arr):
+        arr = np.asarray(arr)
+        out = np.zeros((n_new * cap_new,) + arr.shape[1:], arr.dtype)
+        out[dst_rows] = arr[order]
+        return out
+
+    data = {k: repack(v) for k, v in raw["replay"]["data"].items()}
+    ep_id = repack(raw["replay"]["ep_id"])
+    # rows never written keep the "invalid" marker
+    for j in range(n_new):
+        ep_id[j * cap_new + sizes_new[j]:(j + 1) * cap_new] = -1
+
+    base_key = jnp.asarray(np.asarray(raw["rng"])[0], jnp.uint32)
+    new_rng = jax.random.split(
+        jax.random.wrap_key_data(base_key, impl="threefry2x32"), n_new)
+    new_rng = jax.random.key_data(new_rng)
+
+    total_steps = int(np.asarray(raw["total_env_steps"]).sum())
+    steps = np.full((n_new,), total_steps // n_new, np.int32)
+    steps[0] += total_steps - int(steps.sum())
+
+    template = jax.tree.map(lambda x: x, factory.init(
+        jax.random.PRNGKey(0)))  # shardings + structure donor
+
+    def like(leaf_template, value):
+        return jax.device_put(
+            jnp.asarray(np.asarray(value), leaf_template.dtype),
+            leaf_template.sharding)
+
+    def rebuild(sub_template, sub_raw):
+        """Typed pytree from an Orbax raw dict, walking the template's
+        key paths (raw dict key order is not flatten order)."""
+        from ilswiss_tpu.runtime.checkpoint import _index_raw
+        paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(
+            sub_template)
+        leaves = [like(leaf, _index_raw(sub_raw, key_path))
+                  for key_path, leaf in paths_leaves]
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    env_state = rebuild(template.env_state, raw["env_state"])
+    algo_state = rebuild(template.algo_state, raw["algo_state"])
+
+    replay = template.replay.replace(
+        data={k: like(template.replay.data[k], v)
+              for k, v in data.items()},
+        ep_id=like(template.replay.ep_id, ep_id),
+        ptr=like(template.replay.ptr, sizes_new % cap_new),
+        size=like(template.replay.size, sizes_new),
+        env_ep=like(template.replay.env_ep,
+                    raw["replay"]["env_ep"]),
+    )
+    return RunnerState(
+        rng=like(template.rng, new_rng),
+        env_state=env_state,
+        replay=replay,
+        algo_state=algo_state,
+        total_env_steps=like(template.total_env_steps, steps),
+    )

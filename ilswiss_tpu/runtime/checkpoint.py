@@ -32,9 +32,28 @@ def save_checkpoint(path: str, state: Any) -> None:
 
 
 def restore_checkpoint(path: str, template: Any) -> Any:
-    """Restore into the structure/shardings of `template`."""
+    """Restore into the structure/shardings of `template`.
+
+    Shardings are taken from the TEMPLATE, not from the sharding file
+    Orbax wrote at save time — restoring a checkpoint saved on one
+    device topology onto another (the multi-chip preemption-recovery
+    case: save on an 8-device mesh, resume on 4 or 1) reshards at load
+    instead of trusting stale device lists.  Pinned by
+    tests/test_distributed.py::test_checkpoint_restores_across_topologies.
+    """
+    def args_of(leaf):
+        if isinstance(leaf, jax.Array):
+            return ocp.ArrayRestoreArgs(
+                sharding=leaf.sharding,
+                global_shape=leaf.shape,
+                dtype=leaf.dtype,
+            )
+        return ocp.RestoreArgs()
+
+    restore_args = jax.tree_util.tree_map(args_of, template)
     with ocp.PyTreeCheckpointer() as ckpt:
-        restored = ckpt.restore(_abs(path), item=template)
+        restored = ckpt.restore(
+            _abs(path), item=template, restore_args=restore_args)
     return restored
 
 
@@ -54,6 +73,18 @@ def _index_raw(raw: Any, key_path) -> Any:
     return raw
 
 
+def raw_restore(path: str) -> Any:
+    """Topology-free raw restore: nested dicts of host numpy arrays.
+    A snapshot written on any device mesh loads on any backend."""
+    import numpy as np
+
+    with ocp.PyTreeCheckpointer() as ckpt:
+        meta = ckpt.metadata(_abs(path)).item_metadata
+        restore_args = jax.tree_util.tree_map(
+            lambda m: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+        return ckpt.restore(_abs(path), restore_args=restore_args)
+
+
 def restore_subtree(path: str, template: Any,
                     key: str = "algo_state") -> Any:
     """Restore one field of a saved runner pytree into `template`.
@@ -66,13 +97,7 @@ def restore_subtree(path: str, template: Any,
     TPU-written snapshot loads on any backend), index the subtree, and
     rebuild the typed pytree leaf-by-leaf along the template's key
     paths."""
-    import numpy as np
-
-    with ocp.PyTreeCheckpointer() as ckpt:
-        meta = ckpt.metadata(_abs(path)).item_metadata
-        restore_args = jax.tree_util.tree_map(
-            lambda m: ocp.RestoreArgs(restore_type=np.ndarray), meta)
-        raw = ckpt.restore(_abs(path), restore_args=restore_args)
+    raw = raw_restore(path)
     sub = raw[key] if key else raw
     paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
     leaves = []

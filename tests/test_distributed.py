@@ -12,7 +12,7 @@ from ilswiss_tpu.parallel.mesh import make_mesh
 from ilswiss_tpu.runtime.loop import OffPolicyConfig, OffPolicyLoop
 
 
-def _build(n_devices=8, envs_per_shard=2):
+def _build(n_devices=8, envs_per_shard=2, replay_per_shard=512):
     mesh = make_mesh(n_devices)
     vec = make_vec("pendulum", num_envs=envs_per_shard)
     sac = SAC(
@@ -24,7 +24,7 @@ def _build(n_devices=8, envs_per_shard=2):
     loop = OffPolicyLoop(
         vec, sac,
         OffPolicyConfig(
-            batch_size=32, replay_capacity=512,
+            batch_size=32, replay_capacity=replay_per_shard,
             min_steps_before_training=16, grad_steps_per_iter=2,
         ),
     )
@@ -171,3 +171,91 @@ def test_distributed_gail_train_call_epoch():
         shards = [np.asarray(s.data) for s in leaf.addressable_shards]
         for s in shards[1:]:
             np.testing.assert_allclose(s, shards[0], rtol=1e-5, atol=1e-6)
+
+
+def test_checkpoint_restores_same_topology_without_sharding_file(tmp_path):
+    """Same-mesh resume must take shardings from the template, never the
+    (topology-unsafe) sharding file Orbax wrote — the round-3 Orbax
+    UserWarning is now an error here."""
+    import warnings
+
+    from ilswiss_tpu.runtime.checkpoint import (
+        restore_checkpoint, save_checkpoint,
+    )
+
+    _, _, factory = _build(n_devices=8)
+    runner = factory.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, runner)
+    template = factory.init(jax.random.PRNGKey(1))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        restored = restore_checkpoint(path, template)
+    for w, g in zip(jax.tree.leaves(jax.device_get(runner)),
+                    jax.tree.leaves(jax.device_get(restored))):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+
+def test_checkpoint_restores_across_topologies(tmp_path):
+    """Preemption recovery across mesh shapes (VERDICT r3 #10): save a
+    warmed-up runner sharded over 8 devices, migrate onto 4- and
+    1-device meshes.  Replicated params and the global env batch must be
+    bit-identical; the replay migration must preserve exactly the set of
+    valid transitions and the global step count."""
+    from ilswiss_tpu.parallel.distributed import restore_across_topology
+    from ilswiss_tpu.runtime.checkpoint import save_checkpoint
+
+    mesh8, loop, factory8 = _build(n_devices=8)
+    runner8 = factory8.init(jax.random.PRNGKey(0))
+    warmup, _ = factory8.build(steps_per_epoch=8 * 8)
+    runner8 = warmup(runner8)
+    path = str(tmp_path / "ckpt8")
+    save_checkpoint(path, runner8)
+    want = jax.device_get(runner8)
+
+    def valid_rows(runner_host, n, cap):
+        """(obs, action, reward) rows of all valid replay entries,
+        sorted for set comparison."""
+        rows = []
+        size = np.asarray(runner_host.replay.size)
+        for i in range(n):
+            s = int(size[i])
+            base = i * cap
+            dat = runner_host.replay.data
+            block = np.concatenate([
+                np.asarray(dat["obs"])[base:base + cap],
+                np.asarray(dat["action"])[base:base + cap],
+                np.asarray(dat["reward"])[base:base + cap, None],
+            ], axis=-1)
+            valid = np.asarray(runner_host.replay.ep_id)[
+                base:base + cap] >= 0
+            assert valid.sum() == s
+            rows.append(block[valid])
+        rows = np.concatenate(rows)
+        return rows[np.lexsort(rows.T)]
+
+    want_rows = valid_rows(want, 8, 512)
+    for n in (4, 1):
+        # same GLOBAL state (16 envs, 4096-slot replay), different
+        # mesh: 8x2 -> 4x4 -> 1x16
+        _, _, factory_n = _build(
+            n_devices=n, envs_per_shard=16 // n,
+            replay_per_shard=4096 // n)
+        restored = restore_across_topology(path, factory_n)
+        got = jax.device_get(restored)
+        # replicated learner state: bit-identical
+        for w, g in zip(jax.tree.leaves(want.algo_state),
+                        jax.tree.leaves(got.algo_state)):
+            np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+        # global env batch: bit-identical
+        for w, g in zip(jax.tree.leaves(want.env_state),
+                        jax.tree.leaves(got.env_state)):
+            np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+        # replay content preserved exactly (as a set of transitions)
+        np.testing.assert_array_equal(
+            want_rows, valid_rows(got, n, 4096 // n))
+        assert (int(np.asarray(got.total_env_steps).sum())
+                == int(np.asarray(want.total_env_steps).sum()))
+        # and the state actually lives on the smaller mesh
+        leaf = jax.tree.leaves(restored.algo_state)[0]
+        assert len(leaf.sharding.device_set) <= n
