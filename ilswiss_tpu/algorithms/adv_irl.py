@@ -58,6 +58,17 @@ class AdvIRLConfig:
     grad_pen_weight: float = 10.0
     rew_clip_min: float | None = None
     rew_clip_max: float | None = None
+    # Divide synthesized rewards by a running std (Welford over every
+    # policy batch).  Root-cause fix for the GAIL alpha ratchet
+    # (tests/test_alpha_ratchet.py): when the disc-reward scale swamps
+    # the alpha*log_pi term, SAC's entropy deficit never flips sign and
+    # Adam marches log_alpha up at alpha_lr per step until Q diverges
+    # (observed alpha 0.37 -> 2.5e8 in round-3 GAIL-hopper).  Unit-scale
+    # rewards keep the entropy term competitive so alpha equilibrates
+    # and the sac.py clamp is inert safety.  Off by default (reference
+    # parity — the reference has no reward normalization and its own
+    # GAIL curve oscillates, exp_specs/gail/README.md).
+    reward_norm: bool = False
     # disc architecture (exp spec disc_* keys, e.g. gail_walker.yaml)
     disc_num_blocks: int = 2
     disc_hid_dim: int = 100
@@ -84,6 +95,10 @@ class AdvIRLState:
     disc_opt: Any
     policy: Any              # inner trainer state
     expert: ReplayState
+    # running (count, mean, m2) of synthesized rewards when
+    # config.reward_norm; None otherwise (keeps the treedef — and old
+    # checkpoints — unchanged for parity runs)
+    rew_stats: Any = None
 
 
 class AdvIRL:
@@ -175,6 +190,10 @@ class AdvIRL:
             # private copy: runner states are donated, which would delete
             # a shared demo buffer out from under the caller
             expert=jax.tree.map(jnp.array, self.expert_replay),
+            rew_stats=(
+                (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+                 jnp.zeros((), jnp.float32))
+                if self.config.reward_norm else None),
         )
 
     def act(self, state: AdvIRLState, obs, key, deterministic=False):
@@ -384,12 +403,32 @@ class AdvIRL:
                 }
             batch = dict(batch)
             batch["reward"] = self.synthesize_rewards(state, batch)
+        if cfg.reward_norm:
+            state, batch["reward"] = self._normalize_rewards(
+                state, batch["reward"])
         policy_state, pol_metrics = self.policy_trainer.train_step(
             state.policy, batch, k_t
         )
         metrics = {f"policy_{k}": v for k, v in pol_metrics.items()}
         metrics["disc_rew_mean"] = jnp.mean(batch["reward"])
         return state.replace(policy=policy_state), metrics
+
+    def _normalize_rewards(self, state: AdvIRLState, rew: jnp.ndarray):
+        """Welford-update the running reward moments, then divide by the
+        running std (no centering — gail/fairl reward signs are
+        meaningful).  See AdvIRLConfig.reward_norm."""
+        count, mean, m2 = state.rew_stats
+        r = rew.reshape(-1)
+        n_b = jnp.asarray(r.shape[0], jnp.float32)
+        mean_b = jnp.mean(r)
+        m2_b = jnp.sum(jnp.square(r - mean_b))
+        delta = mean_b - mean
+        n = count + n_b
+        mean = mean + delta * n_b / n
+        m2 = m2 + m2_b + jnp.square(delta) * count * n_b / n
+        std = jnp.sqrt(jnp.maximum(m2 / jnp.maximum(n - 1.0, 1.0), 1e-12))
+        state = state.replace(rew_stats=(n, mean, m2))
+        return state, rew / (std + 1e-8)
 
     # ------------------------------------------------------------------
     def train_call(self, state: AdvIRLState, replay: ReplayState,

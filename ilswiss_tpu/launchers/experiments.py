@@ -1049,6 +1049,7 @@ def run_adv_irl(variant: Dict[str, Any]):
             grad_pen_weight=float(p.get("grad_pen_weight", 10.0)),
             rew_clip_min=p.get("rew_clip_min"),
             rew_clip_max=p.get("rew_clip_max"),
+            reward_norm=bool(p.get("reward_norm", False)),
             disc_num_blocks=int(variant.get("disc_num_blocks", 2)),
             disc_hid_dim=int(variant.get("disc_hid_dim", 128)),
             disc_hid_act=str(variant.get("disc_hid_act", "tanh")),
