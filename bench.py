@@ -125,6 +125,14 @@ def _pure_stepping(num_envs=1024, horizon=200):
     return n * horizon * num_envs / dt
 
 
+# Best UNCONTENDED host-baseline measurement across rounds (the same
+# code measured 616.6 in BENCH_r02.json but 157.9 in BENCH_r03.json —
+# the r3 number ran while a TD3 queue job still held the chip/CPU;
+# VERDICT r3 weak #2).  The denominator is max(measured now, this pin)
+# so a contended snapshot can only make vs_baseline CONSERVATIVE.
+_HOST_BASELINE_PIN = 616.6
+
+
 def main() -> None:
     from ilswiss_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
@@ -135,14 +143,16 @@ def main() -> None:
         host = _host_hopper_baseline()
     except Exception as e:  # host path needs mujoco assets
         host = None
+    host_denom = max(host or 0.0, _HOST_BASELINE_PIN)
     result = {
         "metric": "sac_hopper_fused_env_steps_per_s",
         "value": round(fused, 1),
         "unit": "env-steps/s (on-device Hopper, 1 grad/env step, batch 512)",
-        "vs_baseline": (round(fused / host, 2) if host else None),
+        "vs_baseline": round(fused / host_denom, 2),
         "extra": {
             "host_path_baseline_env_steps_per_s": (
                 round(host, 1) if host else None),
+            "host_baseline_denominator": round(host_denom, 1),
             "pure_stepping_env_steps_per_s_B1024": round(stepping, 1),
         },
     }
