@@ -133,12 +133,60 @@ def _pure_stepping(num_envs=1024, horizon=200):
 _HOST_BASELINE_PIN = 616.6
 
 
+def _fused_high_throughput(num_envs=1024, steps_per_epoch=32_768):
+    """Throughput-optimal fused operating point: same fused
+    act->step->store->train pipeline, massively-parallel collection
+    (1024 envs) at an update-to-data ratio of 16 replayed samples per
+    env step (32 grad steps x batch 512 per 1024-step iteration) — the
+    Brax/IsaacGym-style regime for on-device RL, vs the reference's
+    512 samples/env-step single-stream schedule which is learner-FLOP
+    bound by construction (512 samples/env-step at 100k steps/s would
+    need ~200 TFLOP/s of MLP grad compute)."""
+    from ilswiss_tpu.algorithms.sac import SAC, SACConfig
+    from ilswiss_tpu.envs import make_vec
+    from ilswiss_tpu.runtime.loop import OffPolicyConfig, OffPolicyLoop
+
+    vec = make_vec("hopper", num_envs=num_envs)
+    sac = SAC(
+        obs_size=vec.env.observation_size,
+        action_size=vec.env.action_size, config=SACConfig(),
+        net_size=256, num_hidden_layers=2,
+    )
+    loop = OffPolicyLoop(
+        vec, sac,
+        OffPolicyConfig(
+            batch_size=512, replay_capacity=1_000_000,
+            min_steps_before_training=5_000,
+            grad_steps_per_iter=32,
+        ),
+    )
+    warmup, train_epoch = loop.build(steps_per_epoch=steps_per_epoch)
+    runner = warmup(loop.init(jax.random.PRNGKey(0)))
+    runner, metrics = train_epoch(runner)
+    jax.device_get(metrics["alpha"])
+    t0 = time.perf_counter()
+    n = 3
+    for _ in range(n):
+        runner, metrics = train_epoch(runner)
+        jax.device_get(metrics["alpha"])
+    dt = time.perf_counter() - t0
+    return n * steps_per_epoch / dt
+
+
 def main() -> None:
     from ilswiss_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
 
     fused = _fused_hopper()
     stepping = _pure_stepping()
+    try:
+        stepping_big = _pure_stepping(num_envs=8192, horizon=100)
+    except Exception:
+        stepping_big = None
+    try:
+        fused_ht = _fused_high_throughput()
+    except Exception:
+        fused_ht = None
     try:
         host = _host_hopper_baseline()
     except Exception as e:  # host path needs mujoco assets
@@ -154,6 +202,10 @@ def main() -> None:
                 round(host, 1) if host else None),
             "host_baseline_denominator": round(host_denom, 1),
             "pure_stepping_env_steps_per_s_B1024": round(stepping, 1),
+            "pure_stepping_env_steps_per_s_B8192": (
+                round(stepping_big, 1) if stepping_big else None),
+            "fused_high_throughput_env_steps_per_s": (
+                round(fused_ht, 1) if fused_ht else None),
         },
     }
     print(json.dumps(result))

@@ -38,9 +38,13 @@ import numpy as np
 from ilswiss_tpu.envs._locomotion_params import PARAMS
 from ilswiss_tpu.envs.base import Environment
 from ilswiss_tpu.ops.rigid_body import (
-    RigidModel, cfrc_ext, com_quantities, physics_step, site_positions,
+    RigidModel, cfrc_ext, com_quantities, site_positions,
 )
 from ilswiss_tpu.ops import rigid_body as _rb
+# physics_step with the planar fast path: hopper/walker/halfcheetah
+# route through the fused Pallas forward kernel under vmap on TPU
+# (ops/planar_dynamics.py); everything else uses the general engine
+from ilswiss_tpu.ops.planar_dynamics import physics_step_auto as physics_step
 
 _MODELS: dict[str, RigidModel] = {}
 

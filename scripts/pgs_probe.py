@@ -86,15 +86,32 @@ def fused(num_envs=128, steps_per_epoch=6400):
 
 
 def main():
-    for mode, flag in (("kernel", "0"), ("xla", "1")):
-        os.environ["ILSWISS_NO_PGS_KERNEL"] = flag
-        # new traces per mode: clear jit caches so the env-var is re-read
+    # planar = fused planar forward kernel (ops/planar_dynamics.py)
+    # pgs    = batched PGS solve kernel only (ops/pgs_pallas.py)
+    # xla    = round-3 pure-XLA engine
+    modes = (
+        ("planar", {"ILSWISS_NO_PLANAR_KERNEL": "0",
+                    "ILSWISS_NO_PGS_KERNEL": "0"}),
+        ("pgs", {"ILSWISS_NO_PLANAR_KERNEL": "1",
+                 "ILSWISS_NO_PGS_KERNEL": "0"}),
+        ("xla", {"ILSWISS_NO_PLANAR_KERNEL": "1",
+                 "ILSWISS_NO_PGS_KERNEL": "1"}),
+    )
+    for mode, env in modes:
+        os.environ.update(env)
+        # new traces per mode: clear jit caches so the env-vars re-read
         jax.clear_caches()
         from ilswiss_tpu.ops.pgs_pallas import _make_pgs
         _make_pgs.cache_clear()
+        from ilswiss_tpu.ops.planar_dynamics import _make_planar_step
+        _make_planar_step.cache_clear()
 
-        for env_name, nb in (("hopper", 1024), ("hopper", 8192),
-                             ("ant", 1024)):
+        configs = [("hopper", 1024), ("hopper", 8192)]
+        if mode == "planar":
+            configs += [("hopper", 16384), ("walker", 1024)]
+        else:
+            configs += [("ant", 1024)]
+        for env_name, nb in configs:
             k = f"{mode}_pure_{env_name}_B{nb}"
             try:
                 sps, ret, comp = pure_stepping(env_name, nb)
@@ -141,12 +158,13 @@ def main():
         RESULTS["nested_vmap_smoke"] = {"error": repr(e)[:300]}
     print("nested_vmap_smoke", RESULTS["nested_vmap_smoke"], flush=True)
 
-    # trajectory agreement: same seed, both modes
-    ka = RESULTS.get("kernel_pure_hopper_B1024", {}).get("reward_acc")
-    kb = RESULTS.get("xla_pure_hopper_B1024", {}).get("reward_acc")
-    if ka is not None and kb is not None:
-        denom = max(abs(ka), abs(kb), 1.0)
-        RESULTS["reward_rel_diff_hopper"] = abs(ka - kb) / denom
+    # trajectory agreement: same seed across modes
+    base = RESULTS.get("xla_pure_hopper_B1024", {}).get("reward_acc")
+    for mode in ("planar", "pgs"):
+        ka = RESULTS.get(f"{mode}_pure_hopper_B1024", {}).get("reward_acc")
+        if ka is not None and base is not None:
+            denom = max(abs(ka), abs(base), 1.0)
+            RESULTS[f"reward_rel_diff_{mode}"] = abs(ka - base) / denom
     os.makedirs("logs", exist_ok=True)
     with open("logs/pgs_probe.json", "w") as fh:
         json.dump(RESULTS, fh, indent=1)
