@@ -155,7 +155,9 @@ class PlanarModel:
         self.ctrl_hi = [float(v) for v in m.ctrl_range[:, 1]]
 
         from ilswiss_tpu.ops.rigid_body import _kb
-        self.floor_z = float(m.floor_z)
+        # contact-free planar models (inverted pendulum family) have no
+        # floor plane; m.contacts is then empty and floor_z unused
+        self.floor_z = 0.0 if m.floor_z is None else float(m.floor_z)
         self.contacts = []
         for c in m.contacts:
             if abs(c["lpos"][1]) > 1e-9:

@@ -19,7 +19,7 @@ import ilswiss_tpu.ops.rigid_body as rb
 from ilswiss_tpu.envs.locomotion import _model
 from ilswiss_tpu.ops import planar_dynamics as pd
 
-PLANAR = ("hopper", "walker", "halfcheetah")
+PLANAR = ("hopper", "walker", "halfcheetah", "invertedpendulum")
 
 
 @pytest.fixture
