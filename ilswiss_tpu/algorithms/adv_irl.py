@@ -390,6 +390,7 @@ class AdvIRL:
             flat = lambda v: v.reshape((-1,) + v.shape[2:])
             batch = {k: flat(v) for k, v in win.items() if k != "valid"}
             batch["reward"] = flat(rew)
+            rew_weight = flat(win["valid"]).astype(jnp.float32)
         else:
             n_exp = cfg.policy_optim_batch_size_from_expert
             batch = replay_sample(
@@ -403,9 +404,10 @@ class AdvIRL:
                 }
             batch = dict(batch)
             batch["reward"] = self.synthesize_rewards(state, batch)
+            rew_weight = None
         if cfg.reward_norm:
             state, batch["reward"] = self._normalize_rewards(
-                state, batch["reward"])
+                state, batch["reward"], rew_weight)
         policy_state, pol_metrics = self.policy_trainer.train_step(
             state.policy, batch, k_t
         )
@@ -413,15 +415,26 @@ class AdvIRL:
         metrics["disc_rew_mean"] = jnp.mean(batch["reward"])
         return state.replace(policy=policy_state), metrics
 
-    def _normalize_rewards(self, state: AdvIRLState, rew: jnp.ndarray):
+    def _normalize_rewards(self, state: AdvIRLState, rew: jnp.ndarray,
+                           weight: jnp.ndarray | None = None):
         """Welford-update the running reward moments, then divide by the
         running std (no centering — gail/fairl reward signs are
-        meaningful).  See AdvIRLConfig.reward_norm."""
+        meaningful).  See AdvIRLConfig.reward_norm.
+
+        `weight` (0/1 validity, rnn-disc window padding) excludes masked
+        rows from the moments — padding zeros must not deflate the
+        running std."""
         count, mean, m2 = state.rew_stats
         r = rew.reshape(-1)
-        n_b = jnp.asarray(r.shape[0], jnp.float32)
-        mean_b = jnp.mean(r)
-        m2_b = jnp.sum(jnp.square(r - mean_b))
+        if weight is None:
+            n_b = jnp.asarray(r.shape[0], jnp.float32)
+            mean_b = jnp.mean(r)
+            m2_b = jnp.sum(jnp.square(r - mean_b))
+        else:
+            w = weight.reshape(-1)
+            n_b = jnp.maximum(jnp.sum(w), 1.0)
+            mean_b = jnp.sum(w * r) / n_b
+            m2_b = jnp.sum(w * jnp.square(r - mean_b))
         delta = mean_b - mean
         n = count + n_b
         mean = mean + delta * n_b / n

@@ -1090,6 +1090,35 @@ def _visual_augs(variant: Dict, img_size: int) -> tuple[tuple, int]:
     return augs, int(crop)
 
 
+def _hbm_replay_capacity(requested: int, obs_shape, logger: Logger,
+                         budget_frac: float = 0.35) -> int:
+    """Cap a uint8 image replay at what actually fits the accelerator.
+
+    The reference keeps its 1M-frame visual replay in host RAM
+    (simple_replay_buffer.py:26 uint8 storage); an on-device ring must
+    fit HBM NEXT TO the visual learner's params/activations/workspace.
+    Rule: the obs+next_obs rings get `budget_frac` of the backend's
+    currently-free memory (memory_stats when the backend reports it,
+    16 GB v5e assumption otherwise); the spec value is an upper bound,
+    never exceeded.  Round-4 postmortem: a hand-sized 50k ring OOM'd
+    the 16 GB chip; this derives the bound instead of guessing."""
+    bytes_per = 2 * int(np.prod(obs_shape))  # uint8 obs + next_obs row
+    dev = jax.devices()[0]
+    try:
+        stats = dev.memory_stats() or {}
+    except Exception:
+        stats = {}
+    limit = int(stats.get("bytes_limit", 16_000_000_000))
+    free = limit - int(stats.get("bytes_in_use", 0))
+    derived = max(1000, int(free * budget_frac) // bytes_per // 1000 * 1000)
+    cap = min(int(requested), derived)
+    logger.log(
+        f"visual replay sizing: spec={requested} derived={derived} "
+        f"(free HBM {free / 1e9:.1f} GB, {bytes_per} B/transition, "
+        f"budget {budget_frac:.0%}) -> capacity {cap}")
+    return cap
+
+
 def _run_host_sac_ae(variant: Dict, rl: Dict, logger: Logger, seed: int,
                      env_kwargs: Dict, num_envs: int):
     """SAC-AE/RAD/CURL on DMC pixel envs: host rendering + stepping
@@ -1188,7 +1217,9 @@ def _run_host_sac_ae(variant: Dict, rl: Dict, logger: Logger, seed: int,
         segment * train_per_call / max(1, steps_between)))
     loop = HostOffPolicyLoop(env, loop_algo, HostLoopConfig(
         batch_size=int(rl.get("batch_size", 128)),
-        replay_capacity=int(rl.get("replay_buffer_size", 100_000)),
+        replay_capacity=_hbm_replay_capacity(
+            int(rl.get("replay_buffer_size", 100_000)),
+            env.observation_size, logger),
         steps_between_train_calls=segment,
         train_steps_per_call=grads_per_segment,
         min_steps_before_training=int(
@@ -1200,13 +1231,41 @@ def _run_host_sac_ae(variant: Dict, rl: Dict, logger: Logger, seed: int,
     num_eval_episodes = max(
         1, int(rl.get("num_steps_per_eval", 10_000))
         // int(rl.get("max_path_length", 1000)))
+    # Visual-run snapshot scheme (round-4 postmortem: two DMC attempts
+    # died unresumable): full resumable 'last' EVERY epoch, and
+    # params-only 'best' so frequent early improvements don't each move
+    # the multi-GB uint8 replay ring device->host.
     snap = SnapshotManager(
-        logger.log_dir, gap=int(rl.get("freq_saving", 10)),
-        save_best=bool(rl.get("save_best", True)))
+        logger.log_dir, mode="last",
+        gap=int(rl.get("freq_saving", 10)),
+        save_best=bool(rl.get("save_best", True)),
+        best_state_fn=lambda r: {"algo_state": r.algo_state})
 
     runner = loop.init(seed=seed)
-    runner = loop.warmup(runner)
-    for epoch in range(num_epochs):
+    runner, start_epoch, resumed = _maybe_resume(variant, logger, runner)
+    if not resumed:
+        runner = loop.warmup(runner)
+    else:
+        # HostRunnerState.total_env_steps is a static (non-pytree)
+        # field, so restore leaves it at the template's 0; rebuild the
+        # logged counter from the resume epoch.
+        runner = runner.replace(
+            total_env_steps=max(runner.total_env_steps,
+                                start_epoch * steps_per_epoch))
+    if bool(rl.get("prewarm_only", False)):
+        # Compile pre-warm phase: run ONE train segment (populates the
+        # persistent XLA compile cache with the visual learner's
+        # program — the ~10-min compile that killed round-4 attempt #2)
+        # and exit.  The production run then starts executing within
+        # seconds of launch.
+        t0 = time.time()
+        runner, _ = loop.train_epoch(runner, segment)
+        logger.log(f"prewarm: visual learner compiled+stepped in "
+                   f"{time.time() - t0:.1f}s; cache populated")
+        env.close()
+        logger.close()
+        return runner
+    for epoch in range(start_epoch, num_epochs):
         t0 = time.time()
         runner, metrics = loop.train_epoch(runner, steps_per_epoch)
         train_time = time.time() - t0
@@ -1218,8 +1277,10 @@ def _run_host_sac_ae(variant: Dict, rl: Dict, logger: Logger, seed: int,
         logger.record_tabular("TrainTime", train_time)
         logger.record_tabular(
             "EnvStepsPerSec", steps_per_epoch / max(train_time, 1e-9))
-        logger.dump_tabular(epoch)
+        t_snap = time.time()
         snap.on_epoch(epoch, runner, eval_stats)
+        logger.record_tabular("SnapshotTime", time.time() - t_snap)
+        logger.dump_tabular(epoch)
     env.close()
     logger.close()
     return runner

@@ -188,7 +188,12 @@ class PlanarModel:
         assert self.nrow == m.nrow
 
 
-_PLANAR_CACHE: dict[int, Any] = {}
+# Keyed on (id(m), weakref-to-m): the stored weakref keeps the entry
+# pinned to the ORIGINAL model, so a GC'd RigidModel whose address gets
+# reused by a new planar model cannot alias a stale None (which would
+# silently drop the fast path).  The weakref itself holds no strong
+# reference, so models remain collectible.
+_PLANAR_CACHE: dict[int, tuple[Any, Any]] = {}
 
 # test-only introspection hook: when set to a dict, _forward_math dumps
 # its per-row solver quantities into it (tests/test_planar_dynamics.py)
@@ -197,13 +202,17 @@ _DEBUG_SINK: dict | None = None
 
 def planar_model(m: RigidModel):
     """PlanarModel for m, or None if m is not a planar chain."""
+    import weakref
     key = id(m)
-    if key not in _PLANAR_CACHE:
-        try:
-            _PLANAR_CACHE[key] = PlanarModel(m)
-        except ValueError:
-            _PLANAR_CACHE[key] = None
-    return _PLANAR_CACHE[key]
+    hit = _PLANAR_CACHE.get(key)
+    if hit is not None and hit[0]() is m:
+        return hit[1]
+    try:
+        value = PlanarModel(m)
+    except ValueError:
+        value = None
+    _PLANAR_CACHE[key] = (weakref.ref(m), value)
+    return value
 
 
 # --------------------------------------------------------------------------

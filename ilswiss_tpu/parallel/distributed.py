@@ -226,10 +226,30 @@ def restore_across_topology(path: str,
         return out
 
     data = {k: repack(v) for k, v in raw["replay"]["data"].items()}
-    ep_id = repack(raw["replay"]["ep_id"])
+    # ep_id = env_idx * _EP_STRIDE + env_ep is only unique WITHIN a
+    # shard; merging rows from different old shards into one new shard
+    # could alias unrelated episodes (old shard 0 env 0 ep 3 == old
+    # shard 1 env 0 ep 3), letting the same-ep window check join them.
+    # Remap to globally-unique ids by offsetting each old shard's env
+    # block: global_env = old_shard * n_envs_old + env_idx.
+    from ilswiss_tpu.data.replay import _EP_STRIDE
+    env_ep_old = np.asarray(raw["replay"]["env_ep"])
+    n_envs_old = env_ep_old.reshape(-1).shape[0] // n_old
+    raw_ep = np.asarray(raw["replay"]["ep_id"]).astype(np.int64)
+    shard_of_row = np.arange(g_rows, dtype=np.int64) // cap_old
+    remapped = raw_ep + shard_of_row * (n_envs_old * _EP_STRIDE)
+    remapped[raw_ep < 0] = -1
+    ep_id = repack(remapped).astype(np.asarray(raw["replay"]["ep_id"]).dtype)
     # rows never written keep the "invalid" marker
     for j in range(n_new):
         ep_id[j * cap_new + sizes_new[j]:(j + 1) * cap_new] = -1
+    # NOTE: the contiguous re-pack breaks the env-interleaved stride
+    # layout replay_sample_window / the n-step path assume, so windows
+    # over migrated rows degrade to length 1 (the same-ep check fails
+    # loudly-false rather than silently-true thanks to the unique ids)
+    # — conservative, never cross-episode.  New writes resume the
+    # strided layout; their env_ep counters start past the old global
+    # max so fresh ids cannot collide with migrated ones.
 
     base_key = jnp.asarray(np.asarray(raw["rng"])[0], jnp.uint32)
     new_rng = jax.random.split(
@@ -268,7 +288,9 @@ def restore_across_topology(path: str,
         ptr=like(template.replay.ptr, sizes_new % cap_new),
         size=like(template.replay.size, sizes_new),
         env_ep=like(template.replay.env_ep,
-                    raw["replay"]["env_ep"]),
+                    np.full(template.replay.env_ep.shape,
+                            int(env_ep_old.max()) + 1,
+                            np.int32)),
     )
     return RunnerState(
         rng=like(template.rng, new_rng),

@@ -112,7 +112,8 @@ class SnapshotManager:
 
     def __init__(self, log_dir: str, mode: str = "gap_and_last",
                  gap: int = 10, save_best: bool = True,
-                 best_key: str = "AverageReturn"):
+                 best_key: str = "AverageReturn",
+                 best_state_fn=None):
         assert mode in ("all", "last", "gap", "gap_and_last", "none"), mode
         self.dir = os.path.join(log_dir, "checkpoints")
         os.makedirs(self.dir, exist_ok=True)
@@ -121,6 +122,12 @@ class SnapshotManager:
         self.save_best = save_best
         self.best_key = best_key
         self.best_value = -float("inf")
+        # best_state_fn(state) -> pytree actually written for 'best'
+        # snapshots.  Visual runs pass lambda r: {"algo_state":
+        # r.algo_state} so frequent best-improvements don't each drag
+        # the multi-GB uint8 replay ring over the device tunnel;
+        # restore_subtree reads such params-only snapshots unchanged.
+        self.best_state_fn = best_state_fn or (lambda s: s)
 
     def on_epoch(self, epoch: int, state: Any,
                  eval_stats: dict | None = None) -> None:
@@ -149,7 +156,8 @@ class SnapshotManager:
             v = float(eval_stats[self.best_key])
             if v > self.best_value:
                 self.best_value = v
-                save_checkpoint(os.path.join(self.dir, "best"), state)
+                save_checkpoint(os.path.join(self.dir, "best"),
+                                self.best_state_fn(state))
 
 
 def restore_run(path: str, template: Any) -> tuple[Any, int]:

@@ -122,3 +122,40 @@ def test_reward_norm_rescales_to_unit_std():
     assert 0.8 < float(jnp.std(out2)) < 1.25
     np.testing.assert_array_equal(np.sign(np.asarray(out2)),
                                   np.sign(np.asarray(rew)))
+
+
+def test_reward_norm_ignores_masked_padding():
+    """ADVICE r4 (low): with rnn-disc windows the flattened batch holds
+    rewards zeroed by the validity mask; those padding rows must not
+    deflate the running std.  A batch that is half padding must produce
+    the same normalization as the valid half alone."""
+    from ilswiss_tpu.algorithms.adv_irl import AdvIRL, AdvIRLConfig
+    from ilswiss_tpu.data.replay import replay_init
+
+    class _StubTrainer:
+        def init(self, key):
+            return ()
+
+        def act(self, s, o, k, deterministic=False):
+            return jnp.zeros((o.shape[0], 1))
+
+        def train_step(self, s, batch, k):
+            return s, {"stub": jnp.zeros(())}
+
+    expert = replay_init(64, 3, 1, write_batch=1)
+    adv = AdvIRL(3, 1, _StubTrainer(), expert,
+                 AdvIRLConfig(reward_norm=True, disc_use_bn=False))
+    valid_rew = 100.0 * jax.random.normal(jax.random.PRNGKey(2), (2048,))
+    padded = jnp.concatenate([valid_rew, jnp.zeros((2048,))])
+    weight = jnp.concatenate([jnp.ones((2048,)), jnp.zeros((2048,))])
+
+    s_masked = adv.init(jax.random.PRNGKey(0))
+    s_masked, out_masked = adv._normalize_rewards(s_masked, padded, weight)
+    s_plain = adv.init(jax.random.PRNGKey(0))
+    s_plain, out_plain = adv._normalize_rewards(s_plain, valid_rew)
+    np.testing.assert_allclose(np.asarray(out_masked[:2048]),
+                               np.asarray(out_plain), rtol=1e-6)
+    # the unmasked (buggy) stats would halve the variance -> ~sqrt(2)
+    # over-scaling; pin that the masked std estimate is the valid one
+    n, mean, m2 = s_masked.rew_stats
+    assert abs(float(n) - 2048.0) < 1e-3

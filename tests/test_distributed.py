@@ -259,3 +259,46 @@ def test_checkpoint_restores_across_topologies(tmp_path):
         # and the state actually lives on the smaller mesh
         leaf = jax.tree.leaves(restored.algo_state)[0]
         assert len(leaf.sharding.device_set) <= n
+
+
+def test_migrated_ep_ids_globally_unique(tmp_path):
+    """ADVICE r4 (medium): ep_id = env_idx*2^20 + env_ep is only unique
+    WITHIN a shard; after cross-topology migration merges shards, ids
+    from different old shards must not alias (the same-ep window check
+    would join transitions of unrelated episodes).  The repack remaps
+    ids with an old-shard offset and bumps env_ep counters past the old
+    global max so future writes cannot collide either."""
+    from ilswiss_tpu.data.replay import _EP_STRIDE
+    from ilswiss_tpu.parallel.distributed import restore_across_topology
+    from ilswiss_tpu.runtime.checkpoint import save_checkpoint
+
+    mesh8, loop, factory8 = _build(n_devices=8)
+    runner8 = factory8.init(jax.random.PRNGKey(0))
+    warmup, _ = factory8.build(steps_per_epoch=8 * 8)
+    runner8 = warmup(runner8)
+    path = str(tmp_path / "ckpt8u")
+    save_checkpoint(path, runner8)
+    want = jax.device_get(runner8)
+
+    cap_old, n_old = 512, 8
+    old_pairs = set()
+    ep_old = np.asarray(want.replay.ep_id)
+    for i in range(n_old):
+        blk = ep_old[i * cap_old:(i + 1) * cap_old]
+        old_pairs |= {(i, int(e)) for e in blk[blk >= 0]}
+
+    _, _, factory1 = _build(n_devices=1, envs_per_shard=16,
+                            replay_per_shard=4096)
+    got = jax.device_get(restore_across_topology(path, factory1))
+    ep_new = np.asarray(got.replay.ep_id)
+    valid = ep_new[ep_new >= 0]
+    # every old (shard, episode) becomes a distinct global id
+    assert len(set(int(e) for e in valid)) == len(old_pairs)
+    # the remap is invertible back onto the old (shard, episode) pairs
+    n_envs_old = 2  # 16 envs over 8 shards
+    back = {(int(e) // (n_envs_old * _EP_STRIDE),
+             int(e) % (n_envs_old * _EP_STRIDE)) for e in valid}
+    assert back == old_pairs
+    # future writes can't collide: env_ep starts past the old max
+    assert int(np.asarray(got.replay.env_ep).min()) > int(
+        np.asarray(want.replay.env_ep).max()) - 1
