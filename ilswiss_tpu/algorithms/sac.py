@@ -94,7 +94,8 @@ class SAC:
                  config: SACConfig = SACConfig(),
                  net_size: int = 256, num_hidden_layers: int = 2,
                  axis_name: str | None = None,
-                 use_pallas_act: bool = False):
+                 use_pallas_act: bool = False,
+                 use_fused_chain: bool = False):
         self.config = config
         self.obs_size = obs_size
         self.action_size = action_size
@@ -106,6 +107,14 @@ class SAC:
         # + log-std clamp in one launch; ops/fused_mlp.py).  Training
         # keeps the flax path for autodiff.
         self.use_pallas_act = use_pallas_act
+        # Opt-in fused Pallas TRAINING chain: K sequential grad steps in
+        # one Mosaic kernel with params+Adam moments VMEM-resident
+        # (ops/fused_sac.py).  Same update as train_step to matmul
+        # precision; ILSWISS_NO_FUSED_SAC=1 is the escape hatch.
+        import os as _os
+        self.use_fused_chain = (
+            use_fused_chain
+            and not _os.environ.get("ILSWISS_NO_FUSED_SAC"))
         hidden = (net_size,) * num_hidden_layers
         self.policy = TanhGaussianPolicy(
             action_dim=action_size, hidden_sizes=hidden
@@ -204,6 +213,33 @@ class SAC:
 
     def _pmean(self, g):
         return g if self.axis_name is None else jax.lax.pmean(g, self.axis_name)
+
+    # --- fused K-step learning (ops/fused_sac.py) ---------------------
+    def train_chain(self, state: SACState, replay, keys: jax.Array,
+                    batch_size: int
+                    ) -> tuple[SACState, Dict[str, jnp.ndarray]]:
+        """K gradient steps in ONE Pallas kernel.  Derives per-step
+        sample/noise keys EXACTLY as the unfused path does
+        (runtime/loop.py one_grad_step -> train_step), so fused and
+        scan-of-train_step runs agree to matmul precision
+        (tests/test_fused_sac.py)."""
+        from ilswiss_tpu.data.replay import replay_sample
+        from ilswiss_tpu.ops.fused_sac import fused_sac_chain
+
+        def derive(key):
+            k_samp, k_train = jax.random.split(key)
+            k_next, k_new = jax.random.split(k_train)
+            return k_samp, k_next, k_new
+
+        k_samp, k_next, k_new = jax.vmap(derive)(keys)
+        batches = jax.vmap(
+            lambda k: replay_sample(replay, k, batch_size))(k_samp)
+        shape = (batch_size, self.action_size)
+        eps_next = jax.vmap(
+            lambda k: jax.random.normal(k, shape, jnp.float32))(k_next)
+        eps_new = jax.vmap(
+            lambda k: jax.random.normal(k, shape, jnp.float32))(k_new)
+        return fused_sac_chain(self, state, batches, eps_next, eps_new)
 
     # --- learning -----------------------------------------------------
     def train_step(self, state: SACState, batch: Dict[str, jnp.ndarray],

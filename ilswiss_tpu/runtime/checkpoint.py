@@ -114,7 +114,8 @@ class SnapshotManager:
                  gap: int = 10, save_best: bool = True,
                  best_key: str = "AverageReturn",
                  best_state_fn=None):
-        assert mode in ("all", "last", "gap", "gap_and_last", "none"), mode
+        assert mode in ("all", "last", "gap", "gap_and_last", "gap_last",
+                        "none"), mode
         self.dir = os.path.join(log_dir, "checkpoints")
         os.makedirs(self.dir, exist_ok=True)
         self.mode = mode
@@ -129,12 +130,27 @@ class SnapshotManager:
         # restore_subtree reads such params-only snapshots unchanged.
         self.best_state_fn = best_state_fn or (lambda s: s)
 
-    def on_epoch(self, epoch: int, state: Any,
-                 eval_stats: dict | None = None) -> None:
+    def save_last(self, state: Any, epoch: int | None = None) -> None:
+        """Unconditional full 'last' snapshot (end-of-run flush)."""
+        save_checkpoint(os.path.join(self.dir, "last"), state)
+        if epoch is not None:
+            self._write_meta(epoch)
+
+    def _write_meta(self, epoch: int) -> None:
         # resume metadata next to the snapshots (the reference's
-        # load_from_file returns the next epoch, logger.py:31-49)
+        # load_from_file returns the next epoch, logger.py:31-49).
+        # Written ONLY when a resumable 'last' lands, so the restored
+        # state and the resume epoch can never disagree (gap_last mode
+        # saves sparsely).
         with open(os.path.join(self.dir, "meta.json"), "w") as f:
             json.dump({"epoch": epoch, "best_value": self.best_value}, f)
+
+    def on_epoch(self, epoch: int, state: Any,
+                 eval_stats: dict | None = None) -> None:
+        if self.mode in ("all", "last", "gap", "gap_and_last"):
+            self._write_meta(epoch)
+        elif self.mode == "gap_last" and epoch % self.gap == 0:
+            self._write_meta(epoch)
         if self.mode == "all":
             save_checkpoint(os.path.join(self.dir, f"epoch_{epoch}"), state)
         elif self.mode == "last":
@@ -150,6 +166,17 @@ class SnapshotManager:
                     os.path.join(self.dir, f"epoch_{epoch}"), state
                 )
             save_checkpoint(os.path.join(self.dir, "last"), state)
+        elif self.mode == "gap_last":
+            # Overwrite 'last' every `gap` epochs (no per-epoch full
+            # dump, no epoch_N copies).  A full runner snapshot moves
+            # the entire replay ring device->host — ~3 GB for humanoid's
+            # 1M x 376-dim ring, ~3 min over the tunneled chip — so
+            # per-epoch saving can dominate wall-clock (round-5
+            # humanoid postmortem: 207 s epochs, 21 s of them compute).
+            # Resume granularity becomes `gap` epochs; call save_last()
+            # after the final epoch for an exact end state.
+            if epoch % self.gap == 0:
+                save_checkpoint(os.path.join(self.dir, "last"), state)
 
         if (self.save_best and eval_stats is not None
                 and self.best_key in eval_stats):

@@ -148,20 +148,30 @@ class OffPolicyLoop:
                 total_env_steps=runner.total_env_steps,
             ), metrics
 
-        def one_grad_step(carry, key):
-            algo_state, replay = carry
-            k_samp, k_train = jax.random.split(key)
-            batch = self.sample_fn(replay, k_samp, self.config.batch_size)
-            algo_state, metrics = self.algo.train_step(
-                algo_state, batch, k_train
-            )
-            return (algo_state, replay), metrics
-
         rng, k_steps = jax.random.split(runner.rng)
         keys = jax.random.split(k_steps, self.grad_steps_per_iter)
-        (algo_state, _), metrics = jax.lax.scan(
-            one_grad_step, (runner.algo_state, runner.replay), keys
-        )
+        if (getattr(self.algo, "use_fused_chain", False)
+                and self.sample_fn is replay_sample):
+            # the whole K-step chain as ONE Pallas kernel
+            # (ops/fused_sac.py); key derivation matches the scan path
+            algo_state, metrics = self.algo.train_chain(
+                runner.algo_state, runner.replay, keys,
+                self.config.batch_size,
+            )
+        else:
+            def one_grad_step(carry, key):
+                algo_state, replay = carry
+                k_samp, k_train = jax.random.split(key)
+                batch = self.sample_fn(
+                    replay, k_samp, self.config.batch_size)
+                algo_state, metrics = self.algo.train_step(
+                    algo_state, batch, k_train
+                )
+                return (algo_state, replay), metrics
+
+            (algo_state, _), metrics = jax.lax.scan(
+                one_grad_step, (runner.algo_state, runner.replay), keys
+            )
         metrics = jax.tree.map(jnp.mean, metrics)
         return RunnerState(
             rng=rng,
