@@ -299,3 +299,97 @@ def restore_across_topology(path: str,
         algo_state=algo_state,
         total_env_steps=like(template.total_env_steps, steps),
     )
+
+
+class DistributedOnPolicyRunner:
+    """Multi-chip ON-policy runner (PPO): shard_map over the ``env``
+    mesh axis, completing the off-policy coverage above (SURVEY.md
+    §2.5 row "Learner data parallelism").
+
+    Every shard rolls out its own slice of the vectorized envs and
+    computes PPO minibatch gradients over its local rollout; grads are
+    `pmean`-reduced inside the trainer (algo.axis_name), so params stay
+    replicated.  Observation-normalizer moments are psum-merged across
+    shards (utils/running_stats.py), matching the reference's single
+    global RunningMeanStd (vecenvs.py:102-107)."""
+
+    def __init__(self, loop, mesh: Mesh, axis_name: str = "env"):
+        from ilswiss_tpu.runtime.onpolicy import OnPolicyRunnerState
+
+        assert getattr(loop.algo, "axis_name", None) == axis_name, (
+            "algo must pmean grads over the mesh axis: pass "
+            f"axis_name='{axis_name}' when constructing the trainer"
+        )
+        self.loop = loop
+        self.mesh = mesh
+        self.axis = axis_name
+        self.n_shards = mesh.devices.size
+        self._specs = OnPolicyRunnerState(
+            rng=P(axis_name),
+            env_state=P(axis_name),
+            algo_state=P(),
+            total_env_steps=P(axis_name),
+            obs_rms=(P() if loop.config.normalize_obs else None),
+        )
+
+    @staticmethod
+    def _to_local(r):
+        return r.replace(rng=r.rng[0],
+                         total_env_steps=r.total_env_steps[0])
+
+    @staticmethod
+    def _to_stacked(r):
+        return r.replace(rng=r.rng[None],
+                         total_env_steps=r.total_env_steps[None])
+
+    def init(self, key: jax.Array):
+        from ilswiss_tpu.runtime.onpolicy import OnPolicyRunnerState
+        from ilswiss_tpu.utils.running_stats import running_mean_std_init
+
+        loop, n = self.loop, self.n_shards
+        env = loop.vec_env.env
+        k_env, k_algo, k_rng = jax.random.split(key, 3)
+        global_envs = n * loop.vec_env.num_envs
+        env_state = jax.vmap(env.reset)(
+            jax.random.split(k_env, global_envs))
+        runner = OnPolicyRunnerState(
+            rng=jax.random.split(k_rng, n),
+            env_state=env_state,
+            algo_state=loop.algo.init(k_algo),
+            total_env_steps=jnp.zeros((n,), jnp.int32),
+            obs_rms=(running_mean_std_init((env.observation_size,))
+                     if loop.config.normalize_obs else None),
+        )
+        shardings = jax.tree.map(
+            lambda spec: NamedSharding(self.mesh, spec),
+            self._specs,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+        return jax.device_put(runner, shardings)
+
+    def build(self, steps_per_epoch: int):
+        """(warmup, train_epoch) jitted over the mesh; steps_per_epoch
+        is GLOBAL env steps."""
+        per_shard = steps_per_epoch // self.n_shards
+        warmup_fn, epoch_fn = self.loop.epoch_fns(per_shard)
+
+        def shard_warmup(runner):
+            return self._to_stacked(warmup_fn(self._to_local(runner)))
+
+        def shard_epoch(runner):
+            local, metrics = epoch_fn(self._to_local(runner))
+            metrics = jax.lax.pmean(metrics, self.axis)
+            return self._to_stacked(local), metrics
+
+        smap = partial(shard_map, mesh=self.mesh, check_vma=False)
+        warmup = jax.jit(
+            smap(shard_warmup, in_specs=(self._specs,),
+                 out_specs=self._specs),
+            donate_argnums=0,
+        )
+        epoch = jax.jit(
+            smap(shard_epoch, in_specs=(self._specs,),
+                 out_specs=(self._specs, P())),
+            donate_argnums=0,
+        )
+        return warmup, epoch

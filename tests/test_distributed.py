@@ -302,3 +302,92 @@ def test_migrated_ep_ids_globally_unique(tmp_path):
     # future writes can't collide: env_ep starts past the old max
     assert int(np.asarray(got.replay.env_ep).min()) > int(
         np.asarray(want.replay.env_ep).max()) - 1
+
+
+# --------------------------------------------------------------------------
+# On-policy (PPO) distributed coverage (VERDICT r4 next #8)
+# --------------------------------------------------------------------------
+
+def _build_ppo(n_devices=8, envs_per_shard=4, normalize_obs=True):
+    from ilswiss_tpu.algorithms.ppo import PPO, PPOConfig
+    from ilswiss_tpu.parallel.distributed import DistributedOnPolicyRunner
+    from ilswiss_tpu.runtime.onpolicy import OnPolicyConfig, OnPolicyLoop
+
+    mesh = make_mesh(n_devices)
+    vec = make_vec("pendulum", num_envs=envs_per_shard)
+    ppo = PPO(3, 1,
+              PPOConfig(update_epoch=2, mini_batch_size=32),
+              net_size=32, num_hidden_layers=1, axis_name="env")
+    loop = OnPolicyLoop(vec, ppo, OnPolicyConfig(
+        rollout_length=16, normalize_obs=normalize_obs))
+    return mesh, loop, DistributedOnPolicyRunner(loop, mesh)
+
+
+def test_distributed_ppo_epoch_runs_and_stays_replicated():
+    mesh, loop, factory = _build_ppo()
+    runner = factory.init(jax.random.PRNGKey(0))
+    warmup, epoch = factory.build(steps_per_epoch=8 * 4 * 16)
+    runner = warmup(runner)
+    runner, metrics = epoch(runner)
+    assert np.isfinite(float(metrics["pg_loss"]))
+    assert np.isfinite(float(metrics["rollout_reward_mean"]))
+    steps = np.asarray(jax.device_get(runner.total_env_steps))
+    assert steps.shape == (8,) and np.all(steps == steps[0]) and steps[0] > 0
+    for leaf in jax.tree.leaves(runner.algo_state.policy_params):
+        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+        for s in shards[1:]:
+            np.testing.assert_allclose(s, shards[0], rtol=1e-6, atol=1e-6)
+
+
+def test_distributed_ppo_matches_single_shard_on_identical_data():
+    """Plumbing equivalence: when every shard sees the SAME rollout
+    (identical per-shard rng chains and env states), pmean'd gradients
+    must reproduce the single-device update bit-for-bit(ish).  This
+    pins the collective wiring (grad pmean, obs-rms psum merge, metric
+    pmean) without conflating it with minibatch partitioning."""
+    from jax.sharding import NamedSharding
+
+    from ilswiss_tpu.algorithms.ppo import PPO, PPOConfig
+    from ilswiss_tpu.runtime.onpolicy import OnPolicyConfig, OnPolicyLoop
+
+    mesh, loop, factory = _build_ppo(envs_per_shard=4)
+    n = 8
+
+    # single-shard reference on the same 4-env slice (no mesh axis:
+    # pmean over one shard is the identity, so the math is identical)
+    ppo_1 = PPO(3, 1, PPOConfig(update_epoch=2, mini_batch_size=32),
+                net_size=32, num_hidden_layers=1)
+    loop_1 = OnPolicyLoop(
+        make_vec("pendulum", num_envs=4),
+        ppo_1, OnPolicyConfig(rollout_length=16, normalize_obs=True))
+    runner_1 = loop_1.init(jax.random.PRNGKey(3))
+    _, epoch_1 = loop_1.build(steps_per_epoch=4 * 16)
+
+    # distributed runner with every shard's rng/env slice tiled from
+    # the single-shard runner
+    runner_n = factory.init(jax.random.PRNGKey(0))
+    tiled_env = jax.tree.map(
+        lambda x: jnp.concatenate([x] * n, axis=0),
+        jax.device_get(runner_1.env_state))
+    tiled = runner_n.replace(
+        rng=jnp.stack([jax.device_get(runner_1.rng)] * n),
+        env_state=tiled_env,
+        algo_state=jax.device_get(runner_1.algo_state),
+    )
+    shardings = jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec), factory._specs,
+        is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
+    runner_n = jax.device_put(tiled, shardings)
+
+    _, epoch_n = factory.build(steps_per_epoch=n * 4 * 16)
+    runner_1, m1 = epoch_1(runner_1)
+    runner_n, mn = epoch_n(runner_n)
+
+    for w, g in zip(jax.tree.leaves(runner_1.algo_state),
+                    jax.tree.leaves(runner_n.algo_state)):
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(g)), np.asarray(jax.device_get(w)),
+            rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        float(mn["pg_loss"]), float(m1["pg_loss"]),
+        rtol=1e-5, atol=1e-6)
