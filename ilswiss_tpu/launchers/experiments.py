@@ -444,6 +444,7 @@ def run_sac(variant: Dict[str, Any]):
         ),
         net_size=int(variant.get("net_size", 256)),
         num_hidden_layers=int(variant.get("num_hidden_layers", 2)),
+        use_fused_chain=bool(p.get("use_fused_chain", False)),
     )
     if host:
         return _run_host_off_policy(
@@ -2004,6 +2005,7 @@ def run_sac_vmapped_seeds(variant: Dict[str, Any]):
         ),
         net_size=int(variant.get("net_size", 256)),
         num_hidden_layers=int(variant.get("num_hidden_layers", 2)),
+        use_fused_chain=bool(p.get("use_fused_chain", False)),
     )
     loop = OffPolicyLoop(vec, algo, OffPolicyConfig(
         batch_size=int(rl.get("batch_size", 512)),

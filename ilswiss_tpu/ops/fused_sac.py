@@ -378,7 +378,10 @@ def _make_kernel(*, num_hidden: int, cfg, target_entropy: float,
         for j in range(NC):
             T_o[j][...] = (1.0 - tau) * T[j] + tau * C_new[j]
 
-        met_o[...] = jnp.stack([
+        # Full-array metrics block (Mosaic rejects (1, 8) tiles on a
+        # (K, 8) array: the sublane dim must be a multiple of 8 or the
+        # whole array) — each step dynamic-stores its own row k.
+        met_o[pl.dslice(k, 1), :] = jnp.stack([
             qf_losses[0], qf_losses[1], policy_loss, alpha_loss,
             alpha, jnp.mean(q_preds[0]), jnp.mean(q_preds[1]),
             jnp.mean(logpi),
@@ -463,7 +466,7 @@ def fused_sac_chain(sac, state, batches: Dict[str, jnp.ndarray],
                    for x in state_out]
                   + [jax.ShapeDtypeStruct((K, 8), jnp.float32)])
     out_specs = ([full_spec(x) for x in state_out]
-                 + [pl.BlockSpec((1, 8), lambda k: (k, 0),
+                 + [pl.BlockSpec((K, 8), lambda k: (0, 0),
                                  memory_space=pltpu.VMEM)])
 
     kernel = _make_kernel(
