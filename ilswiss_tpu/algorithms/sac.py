@@ -195,6 +195,12 @@ class SAC:
         )
 
     # --- acting -------------------------------------------------------
+    def acting_state(self, state: SACState) -> SACState:
+        """Acting-only slice (policy params) for host-loop snapshots."""
+        return state.replace(
+            qf_params=None, target_qf_params=None, policy_opt=None,
+            qf_opt=None, alpha_opt=None)
+
     def act(self, state: SACState, obs: jnp.ndarray, key: jax.Array,
             deterministic: bool = False) -> jnp.ndarray:
         if self.use_pallas_act:

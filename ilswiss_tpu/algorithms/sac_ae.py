@@ -153,6 +153,18 @@ class SACAE:
         )
 
     # ------------------------------------------------------------------
+    def acting_state(self, state: SACAEState) -> SACAEState:
+        """Acting-only slice for host loops: `act` reads encoder +
+        policy params; dropping critics/decoder/targets and all five
+        optimizer states cuts the per-segment device->host snapshot by
+        ~10x (runtime/host_loop.py snapshot_and_submit)."""
+        return state.replace(
+            decoder_params=None, qf1_params=None, qf2_params=None,
+            target_encoder_params=None, target_qf1_params=None,
+            target_qf2_params=None, cpc_W=None, qf_opt=None,
+            policy_opt=None, alpha_opt=None, encdec_opt=None,
+            cpc_opt=None)
+
     def act(self, state: SACAEState, obs: jnp.ndarray, key: jax.Array,
             deterministic: bool = False) -> jnp.ndarray:
         feat = self.encoder.apply(state.encoder_params, obs)

@@ -86,6 +86,10 @@ class HostOffPolicyLoop:
         self._act_det_cpu = jax.jit(
             lambda s, o, k: algo.act(s, o, k, deterministic=True)
         )
+        # Optional state narrowing for the device->host acting snapshot:
+        # algo.acting_state(state) returns the state with non-acting
+        # fields (critics, decoder, optimizer moments) replaced by None.
+        self._acting_view = getattr(algo, "acting_state", lambda s: s)
 
         # learner: ingest a [T, B] segment then K grad steps, one jit.
         # Algorithms owning their update schedule (AdvIRL's nested
@@ -165,7 +169,8 @@ class HostOffPolicyLoop:
         rows = []
         with jax.default_device(self.cpu):
             if state_cpu is None and not random_actions:
-                state_cpu = jax.device_put(runner.algo_state, self.cpu)
+                state_cpu = jax.device_put(
+                    self._acting_view(runner.algo_state), self.cpu)
             if key is None:
                 key = jax.random.fold_in(
                     jax.device_put(runner.rng, self.cpu),
@@ -234,10 +239,13 @@ class HostOffPolicyLoop:
                 # thread reads.  Must be a TRUE copy: device_put onto the
                 # array's own device (CPU backend) is a no-op alias, and
                 # the donated alias would be read by the collector thread
-                # after ingest_and_train frees it.
+                # after ingest_and_train frees it.  Only the ACTING slice
+                # of the state crosses the tunnel (algo.acting_state
+                # drops critics/decoder/optimizer moments — on visual
+                # learners that is ~10x fewer bytes per segment).
                 state_cpu = jax.tree.map(
                     lambda x: jax.device_put(np.asarray(x), self.cpu),
-                    r.algo_state)
+                    self._acting_view(r.algo_state))
                 key = jax.random.fold_in(
                     jax.device_put(r.rng, self.cpu), r.total_env_steps)
                 return pool.submit(
@@ -304,7 +312,8 @@ class HostOffPolicyLoop:
         ep_ret = np.zeros(B)
         ep_len = np.zeros(B)
         with jax.default_device(self.cpu):
-            state_cpu = jax.device_put(runner.algo_state, self.cpu)
+            state_cpu = jax.device_put(
+                self._acting_view(runner.algo_state), self.cpu)
             key = jax.random.PRNGKey(seed)
             obs = env.reset(seed=seed + 10_000)
             while len(returns) < num_episodes:
@@ -357,6 +366,7 @@ class HostOnPolicyLoop:
         self.obs_clip = obs_clip
         self.cpu = _cpu_device()
         self._obs = None
+        self._acting_view = getattr(algo, "acting_state", lambda s: s)
 
         self._act_cpu = jax.jit(lambda s, o, k: algo.act(s, o, k))
         self._act_det_cpu = jax.jit(
@@ -418,7 +428,8 @@ class HostOnPolicyLoop:
         B = self.env.num_envs
         rows = []
         with jax.default_device(self.cpu):
-            state_cpu = jax.device_put(runner.algo_state, self.cpu)
+            state_cpu = jax.device_put(
+                self._acting_view(runner.algo_state), self.cpu)
             rms_dev = (None if runner.obs_rms is None
                        else jax.device_put(runner.obs_rms, self.cpu))
             key = jax.random.fold_in(
@@ -469,7 +480,8 @@ class HostOnPolicyLoop:
         ep_ret = np.zeros(B)
         ep_len = np.zeros(B)
         with jax.default_device(self.cpu):
-            state_cpu = jax.device_put(runner.algo_state, self.cpu)
+            state_cpu = jax.device_put(
+                self._acting_view(runner.algo_state), self.cpu)
             key = jax.random.PRNGKey(seed)
             obs = env.reset(seed=seed + 10_000)
             while len(returns) < num_episodes:
