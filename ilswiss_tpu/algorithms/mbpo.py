@@ -357,6 +357,10 @@ class HostMBPOLoop:
         self._act_cpu = jax.jit(lambda s, o, k: self.algo.act(s, o, k))
         self._act_det_cpu = jax.jit(
             lambda s, o, k: self.algo.act(s, o, k, deterministic=True))
+        # MBPO's algo_state nests SAC + BNN states; act() only reads the
+        # SAC policy, but the borrowed collector expects the hook.
+        self._acting_view = getattr(
+            self.algo, "acting_state", lambda s: s)
         self._collect_segment = partial(
             HostOffPolicyLoop._collect_segment, self)
         self.evaluate = partial(HostOffPolicyLoop.evaluate, self)

@@ -60,6 +60,23 @@ class HostRunnerState:
     total_env_steps: int = struct.field(pytree_node=False, default=0)
 
 
+def _start_host_copies(tree):
+    """Kick off async device->host copies for every leaf.
+
+    On the tunneled TPU backend each synchronous `np.asarray(leaf)` is a
+    full round-trip; a ~20-leaf acting snapshot fetched leaf-by-leaf
+    costs 20 RTTs where one overlapped batch costs ~1.  Callers follow
+    with np.asarray/device_get, which then find the data already (or
+    concurrently) in flight."""
+    for x in jax.tree.leaves(tree):
+        if hasattr(x, "copy_to_host_async"):
+            try:
+                x.copy_to_host_async()
+            except Exception:
+                pass
+    return tree
+
+
 def _cpu_device():
     try:
         return jax.devices("cpu")[0]
@@ -169,8 +186,8 @@ class HostOffPolicyLoop:
         rows = []
         with jax.default_device(self.cpu):
             if state_cpu is None and not random_actions:
-                state_cpu = jax.device_put(
-                    self._acting_view(runner.algo_state), self.cpu)
+                state_cpu = jax.device_put(_start_host_copies(
+                    self._acting_view(runner.algo_state)), self.cpu)
             if key is None:
                 key = jax.random.fold_in(
                     jax.device_put(runner.rng, self.cpu),
@@ -245,7 +262,7 @@ class HostOffPolicyLoop:
                 # learners that is ~10x fewer bytes per segment).
                 state_cpu = jax.tree.map(
                     lambda x: jax.device_put(np.asarray(x), self.cpu),
-                    self._acting_view(r.algo_state))
+                    _start_host_copies(self._acting_view(r.algo_state)))
                 key = jax.random.fold_in(
                     jax.device_put(r.rng, self.cpu), r.total_env_steps)
                 return pool.submit(
@@ -265,11 +282,13 @@ class HostOffPolicyLoop:
                 steps = int(seg.reward.shape[0] * seg.reward.shape[1])
                 with phase("train"):
                     runner, metrics = self._ingest_and_train(runner, seg)
-                    metrics = jax.device_get(metrics)
                 runner = runner.replace(
                     total_env_steps=runner.total_env_steps + steps
                 )
+                # keep metrics on device; one overlapped fetch per epoch
+                # instead of a blocking RTT per segment
                 all_metrics.append(metrics)
+        all_metrics = jax.device_get(_start_host_copies(all_metrics))
         return runner, {
             k: float(np.mean([m[k] for m in all_metrics]))
             for k in all_metrics[0]
@@ -291,11 +310,11 @@ class HostOffPolicyLoop:
             steps = int(seg.reward.shape[0] * seg.reward.shape[1])
             with phase("train"):
                 runner, metrics = self._ingest_and_train(runner, seg)
-                metrics = jax.device_get(metrics)
             runner = runner.replace(
                 total_env_steps=runner.total_env_steps + steps
             )
             all_metrics.append(metrics)
+        all_metrics = jax.device_get(_start_host_copies(all_metrics))
         return runner, {
             k: float(np.mean([m[k] for m in all_metrics]))
             for k in all_metrics[0]
@@ -312,8 +331,8 @@ class HostOffPolicyLoop:
         ep_ret = np.zeros(B)
         ep_len = np.zeros(B)
         with jax.default_device(self.cpu):
-            state_cpu = jax.device_put(
-                self._acting_view(runner.algo_state), self.cpu)
+            state_cpu = jax.device_put(_start_host_copies(
+                self._acting_view(runner.algo_state)), self.cpu)
             key = jax.random.PRNGKey(seed)
             obs = env.reset(seed=seed + 10_000)
             while len(returns) < num_episodes:
@@ -428,8 +447,8 @@ class HostOnPolicyLoop:
         B = self.env.num_envs
         rows = []
         with jax.default_device(self.cpu):
-            state_cpu = jax.device_put(
-                self._acting_view(runner.algo_state), self.cpu)
+            state_cpu = jax.device_put(_start_host_copies(
+                self._acting_view(runner.algo_state)), self.cpu)
             rms_dev = (None if runner.obs_rms is None
                        else jax.device_put(runner.obs_rms, self.cpu))
             key = jax.random.fold_in(
@@ -480,8 +499,8 @@ class HostOnPolicyLoop:
         ep_ret = np.zeros(B)
         ep_len = np.zeros(B)
         with jax.default_device(self.cpu):
-            state_cpu = jax.device_put(
-                self._acting_view(runner.algo_state), self.cpu)
+            state_cpu = jax.device_put(_start_host_copies(
+                self._acting_view(runner.algo_state)), self.cpu)
             key = jax.random.PRNGKey(seed)
             obs = env.reset(seed=seed + 10_000)
             while len(returns) < num_episodes:
