@@ -23,6 +23,10 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running learning tests"
     )
+    config.addinivalue_line(
+        "markers",
+        "nightly: interpret-mode kernel validation, minutes per test"
+    )
 
 
 # Smoke gate (VERDICT r3 #9): `pytest -m 'not slow'` runs the fast
@@ -84,9 +88,26 @@ _SLOW = {
 }
 
 
+# Nightly tier (VERDICT r4 weak #6): interpret-mode Pallas validation
+# runs the Mosaic kernels through the emulator at ~1000x slowdown —
+# correctness-critical but minutes per test (the rollout test alone is
+# ~13 min).  Tier contract, measured 2026-08-22 on the 2-core host:
+#   smoke   `-m "not slow and not nightly"`  (~2 min)
+#   slow    `-m slow`                        (<15 min)
+#   nightly `-m nightly`                     (~22 min)
+# The full suite (no -m) runs everything and stays green.
+_NIGHTLY = {
+    # (the other nightly tests carry @pytest.mark.nightly in-file:
+    # test_planar_dynamics.py kernel-step + rollout tests)
+    "tests/test_pgs_pallas.py::test_engine_step_unchanged_on_cpu",
+}
+
+
 def pytest_collection_modifyitems(config, items):
     import pytest
     for item in items:
         base = item.nodeid.split("[")[0]
-        if base in _SLOW:
+        if base in _NIGHTLY:
+            item.add_marker(pytest.mark.nightly)
+        elif base in _SLOW:
             item.add_marker(pytest.mark.slow)

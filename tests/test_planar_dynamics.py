@@ -72,7 +72,7 @@ def test_dispatch_unbatched_is_engine():
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
-@pytest.mark.slow
+@pytest.mark.nightly
 @pytest.mark.parametrize("name", ["hopper", "halfcheetah"])
 def test_kernel_control_step_matches_engine(name, monkeypatch):
     """Full control step (RK4 x frame_skip / implicit-damping Euler)
@@ -99,7 +99,7 @@ def test_kernel_control_step_matches_engine(name, monkeypatch):
             err_msg=f"{name}:{lbl}")
 
 
-@pytest.mark.slow
+@pytest.mark.nightly
 def test_env_rollout_through_kernel_stays_close(monkeypatch):
     """A 5-control-step hopper env rollout through the kernel tracks
     the engine rollout (includes ground contact; interpret mode is slow,
