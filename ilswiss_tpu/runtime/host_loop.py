@@ -184,6 +184,11 @@ class HostOffPolicyLoop:
         B = self.env.num_envs
         iters = max(1, num_steps // B)
         rows = []
+        import os as _os
+        import sys as _sys
+        import time as _time
+        dbg = bool(_os.environ.get("ILSWISS_HOST_LOOP_DEBUG"))
+        act_s = step_s = 0.0
         with jax.default_device(self.cpu):
             if state_cpu is None and not random_actions:
                 state_cpu = jax.device_put(_start_host_copies(
@@ -194,6 +199,7 @@ class HostOffPolicyLoop:
                     runner.total_env_steps,
                 )
             for t in range(iters):
+                ta = _time.perf_counter()
                 if random_actions:
                     action = np.random.uniform(
                         -1.0, 1.0, (B, self.env.action_size)
@@ -203,12 +209,18 @@ class HostOffPolicyLoop:
                     action = np.asarray(
                         self._act_cpu(state_cpu, jnp.asarray(self._obs), k)
                     )
+                tb = _time.perf_counter()
                 obs_prev, true_next, reward, terminal, done, obs_after = (
                     self.env.step(action)
                 )
+                act_s += tb - ta
+                step_s += _time.perf_counter() - tb
                 self._obs = obs_after
                 rows.append((obs_prev, action, reward, true_next,
                              terminal, done))
+        if dbg:
+            print(f"[host-loop] collect {iters}x{B}: act={act_s:.2f}s "
+                  f"env_step={step_s:.2f}s", file=_sys.stderr, flush=True)
         stack = lambda i: np.stack([r[i] for r in rows])
         terminal = stack(4)
         if self.config.no_terminal:
@@ -270,18 +282,32 @@ class HostOffPolicyLoop:
                     state_cpu, key,
                 )
 
+            import os as _os
+            import sys as _sys
+            import time as _time
+            dbg = bool(_os.environ.get("ILSWISS_HOST_LOOP_DEBUG"))
+
             fut = snapshot_and_submit(runner)
             for i in range(n_calls):
+                t0 = _time.perf_counter()
                 with phase("sample"):
                     seg = fut.result()
+                t1 = _time.perf_counter()
                 if i + 1 < n_calls:
                     # next segment collects with the params from before
                     # this train call (one segment of staleness) while
                     # the TPU trains
                     fut = snapshot_and_submit(runner)
+                t2 = _time.perf_counter()
                 steps = int(seg.reward.shape[0] * seg.reward.shape[1])
                 with phase("train"):
                     runner, metrics = self._ingest_and_train(runner, seg)
+                if dbg:
+                    t3 = _time.perf_counter()
+                    print(f"[host-loop] seg {i}: wait_collect="
+                          f"{t1 - t0:.2f}s snap_submit={t2 - t1:.2f}s "
+                          f"train_dispatch={t3 - t2:.2f}s",
+                          file=_sys.stderr, flush=True)
                 runner = runner.replace(
                     total_env_steps=runner.total_env_steps + steps
                 )
