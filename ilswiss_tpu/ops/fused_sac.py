@@ -177,11 +177,16 @@ def _make_kernel(*, num_hidden: int, cfg, target_entropy: float,
     q_hi = np.inf if cfg.q_target_max is None else float(cfg.q_target_max)
     clip_q = np.isfinite(q_lo) or np.isfinite(q_hi)
 
+    # Mosaic has no powf lowering; beta^t == exp(t * log(beta)) with
+    # log(beta) folded at trace time (betas are Python floats).
+    log_b1 = float(np.log(b1))
+    log_b2 = float(np.log(ADAM_B2))
+
     def adam(p, g, m, v, t, lr):
         m = b1 * m + (1.0 - b1) * g
         v = ADAM_B2 * v + (1.0 - ADAM_B2) * g * g
-        mh = m / (1.0 - jax.lax.pow(b1, t))
-        vh = v / (1.0 - jax.lax.pow(ADAM_B2, t))
+        mh = m / (1.0 - jnp.exp(t * log_b1))
+        vh = v / (1.0 - jnp.exp(t * log_b2))
         return p - lr * mh / (jnp.sqrt(vh) + ADAM_EPS), m, v
 
     def policy_fwd(P, o):
