@@ -63,6 +63,9 @@ class SACAEConfig:
     encdec_update_freq: int = 1
     cpc_update_freq: int = 0  # 0 = no CURL
     target_update_freq: int = 2
+    # conv compute dtype ("bfloat16" | "float32"): bf16 runs the pixel
+    # encoder/decoder stacks ~4x faster on the MXU; f32 for parity runs
+    conv_dtype: str = "bfloat16"
 
 
 @struct.dataclass
@@ -91,10 +94,12 @@ class SACAE:
                  net_size: int = 256, num_hidden_layers: int = 2):
         self.config = config
         self.action_size = action_size
+        cdt = jnp.dtype(config.conv_dtype)
         self.encoder = PixelEncoder(
             feature_dim=config.feature_dim,
             num_layers=config.num_conv_layers,
             num_filters=config.num_filters,
+            compute_dtype=cdt,
         )
         self.decoder = PixelDecoder(
             out_hw=conv_out_dim(config.image_size, config.num_conv_layers),
@@ -102,6 +107,7 @@ class SACAE:
             num_layers=config.num_conv_layers,
             num_filters=config.num_filters,
             out_size=config.image_size,
+            compute_dtype=cdt,
         )
         hidden = (net_size,) * num_hidden_layers
         self.policy = TanhGaussianPolicy(

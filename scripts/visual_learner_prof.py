@@ -40,15 +40,18 @@ def main():
     B, T = 1, 100
     batch = 128
     act_dim = 2
-    algo = SACAE(
-        action_size=act_dim,
-        config=SACAEConfig(image_size=H, frame_channels=C,
-                           feature_dim=50, num_conv_layers=4,
-                           num_filters=32, policy_lr=1e-3, qf_lr=1e-3,
-                           encdec_lr=1e-3, init_alpha=0.1,
-                           alpha_lr=1e-4, ac_update_freq=2,
-                           encdec_update_freq=1, target_update_freq=2),
-        net_size=1024, num_hidden_layers=2)
+    def build(conv_dtype):
+        return SACAE(
+            action_size=act_dim,
+            config=SACAEConfig(image_size=H, frame_channels=C,
+                               feature_dim=50, num_conv_layers=4,
+                               num_filters=32, policy_lr=1e-3, qf_lr=1e-3,
+                               encdec_lr=1e-3, init_alpha=0.1,
+                               alpha_lr=1e-4, ac_update_freq=2,
+                               encdec_update_freq=1, target_update_freq=2,
+                               conv_dtype=conv_dtype),
+            net_size=1024, num_hidden_layers=2)
+    algo = build("float32")
     key = jax.random.PRNGKey(0)
     state = algo.init(key)
     replay = replay_init(20_000, (H, W, C), act_dim, write_batch=B,
@@ -66,20 +69,24 @@ def main():
 
     out = {"device": str(jax.devices()[0])}
 
-    def timeit(name, fn, n=3):
+    def timeit(name, fn, probe, n=3):
+        # block_until_ready can return before chained donated work
+        # finishes on the tunneled axon backend (bench.py docstring);
+        # a device_get of a derived scalar is the only honest fence.
         r = fn()           # compile + warm
-        jax.block_until_ready(r)
+        np.asarray(jax.device_get(probe(r)))
         t0 = time.perf_counter()
         for _ in range(n):
             r = fn()
-            jax.block_until_ready(r)
+            np.asarray(jax.device_get(probe(r)))
         out[name] = round((time.perf_counter() - t0) / n, 4)
         print(name, out[name], flush=True)
         return r
 
     # 1. pure transfer
     timeit("seg_transfer_s",
-           lambda: jax.device_put(seg_np, jax.devices()[0]))
+           lambda: jax.device_put(seg_np, jax.devices()[0]),
+           lambda r: r.reward.sum())
     seg_dev = jax.device_put(seg_np, jax.devices()[0])
 
     # 2. ingest only
@@ -89,29 +96,37 @@ def main():
             return replay_add(r, tr), None
         r, _ = jax.lax.scan(add_one, replay, seg)
         return r
-    replay = timeit("ingest_100_s", lambda: ingest(replay, seg_dev))
+    replay = timeit("ingest_100_s", lambda: ingest(replay, seg_dev),
+                    lambda r: r.ptr)
     for _ in range(20):   # fill some rows so sampling sees data
         replay = ingest(replay, seg_dev)
     jax.block_until_ready(replay)
 
-    # 3. K-grad-step scans
-    def make_chain(K):
+    # 3. K-grad-step scans, f32 vs bf16 conv compute
+    def make_chain(a, K):
         @jax.jit
         def chain(state, replay, key):
             def step(carry, k):
                 st = carry
                 ks, kt = jax.random.split(k)
                 b = replay_sample(replay, ks, batch)
-                st, m = algo.train_step(st, b, kt)
+                st, m = a.train_step(st, b, kt)
                 return st, m
             st, m = jax.lax.scan(step, state,
                                  jax.random.split(key, K))
             return st
         return chain
-    c10 = make_chain(10)
-    c50 = make_chain(50)
-    timeit("train_10_s", lambda: c10(state, replay, jax.random.PRNGKey(1)))
-    timeit("train_50_s", lambda: c50(state, replay, jax.random.PRNGKey(2)))
+    c10 = make_chain(algo, 10)
+    c50 = make_chain(algo, 50)
+    timeit("train_10_s", lambda: c10(state, replay, jax.random.PRNGKey(1)),
+           lambda st: st.log_alpha)
+    timeit("train_50_s", lambda: c50(state, replay, jax.random.PRNGKey(2)),
+           lambda st: st.log_alpha)
+    algo_bf = build("bfloat16")
+    c50_bf = make_chain(algo_bf, 50)
+    timeit("train_50_bf16_s",
+           lambda: c50_bf(state, replay, jax.random.PRNGKey(2)),
+           lambda st: st.log_alpha)
 
     # 4. single bare step
     @jax.jit
@@ -120,10 +135,13 @@ def main():
         b = replay_sample(replay, ks, batch)
         st, _ = algo.train_step(state, b, kt)
         return st
-    timeit("train_1_s", lambda: one(state, replay, jax.random.PRNGKey(3)))
+    timeit("train_1_s", lambda: one(state, replay, jax.random.PRNGKey(3)),
+           lambda st: st.log_alpha)
 
     out["grad_step_amortized_ms"] = round(
         1000.0 * (out["train_50_s"] - out["train_10_s"]) / 40.0, 2)
+    out["bf16_speedup_50"] = round(
+        out["train_50_s"] / max(out["train_50_bf16_s"], 1e-9), 2)
     path = os.path.join("logs", "visual_learner_prof.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
