@@ -1237,7 +1237,11 @@ def _run_host_sac_ae(variant: Dict, rl: Dict, logger: Logger, seed: int,
     if bool(rl.get("exact_cadence", False)):
         segment = steps_between
     else:
-        segment = max(steps_between, 100)
+        # 250-step segments: the tunnel pays ~1-2 s of sync per train
+        # call (measured via ILSWISS_HOST_LOOP_DEBUG), so 100-step
+        # segments spent more wall-clock on call overhead than on the
+        # collect+train work they carried
+        segment = max(steps_between, int(rl.get("min_segment_steps", 250)))
     grads_per_segment = max(1, round(
         segment * train_per_call / max(1, steps_between)))
     loop = HostOffPolicyLoop(env, loop_algo, HostLoopConfig(
