@@ -241,9 +241,11 @@ class HostOffPolicyLoop:
             runner, self.config.min_steps_before_training,
             random_actions=True,
         )
-        runner = self._ingest_only(runner, seg)
+        prev_steps = runner.total_env_steps  # static field: see above
+        runner = self._ingest_only(
+            runner.replace(total_env_steps=0), seg)
         return runner.replace(
-            total_env_steps=runner.total_env_steps
+            total_env_steps=prev_steps
             + int(seg.reward.shape[0] * seg.reward.shape[1])
         )
 
@@ -300,8 +302,15 @@ class HostOffPolicyLoop:
                     fut = snapshot_and_submit(runner)
                 t2 = _time.perf_counter()
                 steps = int(seg.reward.shape[0] * seg.reward.shape[1])
+                # total_env_steps is a STATIC pytree field; it must be
+                # pinned to 0 across the jit boundary or every segment's
+                # new value is a fresh cache key -> a ~10 s remote
+                # recompile per 100-step segment (the round-5 finger-spin
+                # stall: 20-min epochs, measured via the dbg prints)
+                prev_steps = runner.total_env_steps
                 with phase("train"):
-                    runner, metrics = self._ingest_and_train(runner, seg)
+                    runner, metrics = self._ingest_and_train(
+                        runner.replace(total_env_steps=0), seg)
                 if dbg:
                     t3 = _time.perf_counter()
                     print(f"[host-loop] seg {i}: wait_collect="
@@ -309,7 +318,7 @@ class HostOffPolicyLoop:
                           f"train_dispatch={t3 - t2:.2f}s",
                           file=_sys.stderr, flush=True)
                 runner = runner.replace(
-                    total_env_steps=runner.total_env_steps + steps
+                    total_env_steps=prev_steps + steps
                 )
                 # keep metrics on device; one overlapped fetch per epoch
                 # instead of a blocking RTT per segment
@@ -334,10 +343,12 @@ class HostOffPolicyLoop:
                     random_actions=False,
                 )
             steps = int(seg.reward.shape[0] * seg.reward.shape[1])
+            prev_steps = runner.total_env_steps  # static field: see above
             with phase("train"):
-                runner, metrics = self._ingest_and_train(runner, seg)
+                runner, metrics = self._ingest_and_train(
+                    runner.replace(total_env_steps=0), seg)
             runner = runner.replace(
-                total_env_steps=runner.total_env_steps + steps
+                total_env_steps=prev_steps + steps
             )
             all_metrics.append(metrics)
         all_metrics = jax.device_get(_start_host_copies(all_metrics))
@@ -507,9 +518,11 @@ class HostOnPolicyLoop:
         all_metrics = []
         for _ in range(n_iters):
             rollout = self._collect_rollout(runner)
-            runner, metrics = self._train_on_rollout(runner, rollout)
+            prev_steps = runner.total_env_steps  # static field: see above
+            runner, metrics = self._train_on_rollout(
+                runner.replace(total_env_steps=0), rollout)
             runner = runner.replace(
-                total_env_steps=runner.total_env_steps
+                total_env_steps=prev_steps
                 + self.rollout_length * B)
             all_metrics.append(jax.device_get(metrics))
         return runner, {
