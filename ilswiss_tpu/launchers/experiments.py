@@ -152,8 +152,13 @@ def _run_host_off_policy(algo, variant: Dict, rl: Dict, logger: Logger,
 
     runner = loop.init(seed=seed)
     runner, start_epoch, resumed = _maybe_resume(variant, logger, runner)
-    if not resumed:
+    if resumed != "full":
         runner = loop.warmup(runner)
+    if resumed:
+        # HostRunnerState.total_env_steps is static (non-pytree):
+        # rebuild the logged counter from the resume epoch
+        runner = runner.replace(total_env_steps=max(
+            runner.total_env_steps, start_epoch * steps_per_epoch))
     TIMER.reset()
     profile_dir = variant.get("profile_dir")
     for epoch in range(start_epoch, num_epochs):
@@ -289,14 +294,38 @@ def _grad_steps_per_iter(rl: Dict, num_envs: int) -> int:
 def _maybe_resume(variant: Dict | None, logger: Logger, runner):
     """variant['load_params'] = checkpoint path (or a previous run's
     log_dir) -> restored runner + start epoch (reference
-    sac_exp_script.py:91-93 / logger.load_from_file)."""
+    sac_exp_script.py:91-93 / logger.load_from_file).
+
+    Returns resumed in {False, "full", "light"}: "light" snapshots
+    (SnapshotManager last_state_fn — params/opt only, no replay ring)
+    restore just the algo state; the caller must re-run warmup to
+    refill the ring.  Callers therefore gate warmup on
+    `resumed != "full"`, not truthiness."""
     if not variant or not variant.get("load_params"):
         return runner, 0, False
-    from ilswiss_tpu.runtime.checkpoint import restore_run
-    runner, start_epoch = restore_run(str(variant["load_params"]), runner)
+    from ilswiss_tpu.runtime.checkpoint import (
+        restore_run, restore_subtree, snapshot_meta,
+    )
+    path = str(variant["load_params"])
+    meta = snapshot_meta(path)
+    if meta.get("light"):
+        algo_state = restore_subtree(
+            _resolve_last(path), runner.algo_state, key="algo_state")
+        runner = runner.replace(algo_state=algo_state)
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        logger.log(f"light-resumed algo state from {path} at epoch "
+                   f"{start_epoch} (replay ring refills via warmup)")
+        return runner, start_epoch, "light"
+    runner, start_epoch = restore_run(path, runner)
     logger.log(f"resumed from {variant['load_params']} "
                f"at epoch {start_epoch}")
-    return runner, start_epoch, True
+    return runner, start_epoch, "full"
+
+
+def _resolve_last(path: str) -> str:
+    p = os.path.abspath(os.path.expanduser(path))
+    last = os.path.join(p, "checkpoints", "last")
+    return last if os.path.isdir(last) else p
 
 
 def _run_off_policy(algo, vec, rl: Dict, logger: Logger, seed: int,
@@ -343,17 +372,23 @@ def _run_off_policy(algo, vec, rl: Dict, logger: Logger, seed: int,
     # and 'best' stores params only (restore_subtree-compatible; what
     # gen_expert / render / DAgger consume).  One full save_last() runs
     # after the final epoch.
+    # rl_alg_params.light_snapshots: 'last' too stores params-only (the
+    # ring refills via warmup on resume) — for runs whose full-ring
+    # fetch would dominate wall-clock (humanoid ~3 GB / ~3 min each).
+    light = bool(rl.get("light_snapshots", False))
     snap = SnapshotManager(
         logger.log_dir,
         mode=str(rl.get("snapshot_mode", "gap_last")),
         gap=int(rl.get("freq_saving", 10)),
         save_best=bool(rl.get("save_best", True)),
         best_state_fn=lambda r: {"algo_state": r.algo_state},
+        last_state_fn=(
+            (lambda r: {"algo_state": r.algo_state}) if light else None),
     )
 
     runner = loop.init(jax.random.PRNGKey(seed))
     runner, start_epoch, resumed = _maybe_resume(variant, logger, runner)
-    if not resumed:
+    if resumed != "full":
         runner = warmup(runner)
         logger.log(f"warmup done: {int(runner.total_env_steps)} env steps")
 
@@ -398,9 +433,10 @@ def _run_off_policy(algo, vec, rl: Dict, logger: Logger, seed: int,
         logger.dump_tabular(epoch)
         snap.on_epoch(epoch, runner, eval_stats)
         if guard.should_stop:
-            # preemption notice: flush a resumable snapshot and exit
-            from ilswiss_tpu.runtime.checkpoint import save_checkpoint
-            save_checkpoint(os.path.join(snap.dir, "last"), runner)
+            # preemption notice: flush a resumable snapshot (light
+            # projection if configured — a full humanoid ring is ~3 GB
+            # / ~3 min over the tunnel) and exit at the epoch boundary
+            snap.save_last(runner, epoch=epoch)
             logger.log(f"preemption flush at epoch {epoch}; exiting")
             break
     else:
@@ -1265,17 +1301,27 @@ def _run_host_sac_ae(variant: Dict, rl: Dict, logger: Logger, seed: int,
     # multi-GB uint8 replay ring costs minutes per device->host fetch,
     # so every-epoch full saves would dominate wall-clock), and
     # params-only 'best'.  A stall loses at most `gap` epochs.
+    # Visual snapshots are LIGHT by default (params-only 'last'): the
+    # round-5 finger-spin postmortem measured 807 s per full-ring save
+    # (2.5 GB uint8 replay over the tunnel) against 151 s of epoch
+    # compute — full 'last' saves would more than double the run.  The
+    # 20k ring holds only ~2 epochs of data; a light resume refills it
+    # through warmup.  Set rl_alg_params.light_snapshots: false for
+    # exact-ring resume fidelity.
+    light = bool(rl.get("light_snapshots", True))
     snap = SnapshotManager(
         logger.log_dir, mode="gap_last",
         gap=min(4, int(rl.get("freq_saving", 10))),
         save_best=bool(rl.get("save_best", True)),
-        best_state_fn=lambda r: {"algo_state": r.algo_state})
+        best_state_fn=lambda r: {"algo_state": r.algo_state},
+        last_state_fn=(
+            (lambda r: {"algo_state": r.algo_state}) if light else None))
 
     runner = loop.init(seed=seed)
     runner, start_epoch, resumed = _maybe_resume(variant, logger, runner)
-    if not resumed:
+    if resumed != "full":
         runner = loop.warmup(runner)
-    else:
+    if resumed:
         # HostRunnerState.total_env_steps is a static (non-pytree)
         # field, so restore leaves it at the template's 0; rebuild the
         # logged counter from the resume epoch.
@@ -1295,7 +1341,24 @@ def _run_host_sac_ae(variant: Dict, rl: Dict, logger: Logger, seed: int,
         env.close()
         logger.close()
         return runner
+    # rl_alg_params.max_wall_minutes: clean time-budget cutoff at an
+    # epoch boundary — for chip-queue scheduling on the single tunneled
+    # device, so a long run never needs an external SIGTERM (which
+    # would skip the final light 'last' flush and can degrade the
+    # TPU relay for the next client)
+    wall_budget_s = float(rl.get("max_wall_minutes", 0)) * 60.0
+    run_t0 = time.time()
+    epoch = start_epoch
     for epoch in range(start_epoch, num_epochs):
+        if wall_budget_s and time.time() - run_t0 > wall_budget_s:
+            logger.log(
+                f"wall budget {wall_budget_s / 60:.0f} min reached at "
+                f"epoch {epoch}; flushing 'last' and exiting (resume "
+                f"via load_params)")
+            snap.save_last(runner, epoch=epoch - 1)
+            env.close()
+            logger.close()
+            return runner
         t0 = time.time()
         runner, metrics = loop.train_epoch(runner, steps_per_epoch)
         train_time = time.time() - t0

@@ -113,7 +113,7 @@ class SnapshotManager:
     def __init__(self, log_dir: str, mode: str = "gap_and_last",
                  gap: int = 10, save_best: bool = True,
                  best_key: str = "AverageReturn",
-                 best_state_fn=None):
+                 best_state_fn=None, last_state_fn=None):
         assert mode in ("all", "last", "gap", "gap_and_last", "gap_last",
                         "none"), mode
         self.dir = os.path.join(log_dir, "checkpoints")
@@ -129,10 +129,25 @@ class SnapshotManager:
         # the multi-GB uint8 replay ring over the device tunnel;
         # restore_subtree reads such params-only snapshots unchanged.
         self.best_state_fn = best_state_fn or (lambda s: s)
+        # last_state_fn(state) -> pytree written for 'last'/'gap'
+        # snapshots.  A FULL runner snapshot moves the whole replay
+        # ring device->host: 807 s measured for finger-spin's 2.5 GB
+        # uint8 ring over the tunneled chip vs 151 s of epoch compute
+        # (round-5 postmortem), ~3 min for humanoid's 1M x 376 f32
+        # ring.  "Light" runs pass a params-only projection (same shape
+        # as best_state_fn); resume then restores the algo state and
+        # refills the ring through warmup — for rings holding only a
+        # couple of epochs of data the lost transitions are noise,
+        # while full-ring saves can double wall-clock.  meta.json
+        # records light=true so restore_run refuses a full-template
+        # restore and callers take the light path.
+        self.last_state_fn = last_state_fn or (lambda s: s)
+        self._light = last_state_fn is not None
 
     def save_last(self, state: Any, epoch: int | None = None) -> None:
-        """Unconditional full 'last' snapshot (end-of-run flush)."""
-        save_checkpoint(os.path.join(self.dir, "last"), state)
+        """Unconditional 'last' snapshot (end-of-run flush)."""
+        save_checkpoint(os.path.join(self.dir, "last"),
+                        self.last_state_fn(state))
         if epoch is not None:
             self._write_meta(epoch)
 
@@ -143,7 +158,8 @@ class SnapshotManager:
         # state and the resume epoch can never disagree (gap_last mode
         # saves sparsely).
         with open(os.path.join(self.dir, "meta.json"), "w") as f:
-            json.dump({"epoch": epoch, "best_value": self.best_value}, f)
+            json.dump({"epoch": epoch, "best_value": self.best_value,
+                       "light": self._light}, f)
 
     def on_epoch(self, epoch: int, state: Any,
                  eval_stats: dict | None = None) -> None:
@@ -176,7 +192,8 @@ class SnapshotManager:
             # Resume granularity becomes `gap` epochs; call save_last()
             # after the final epoch for an exact end state.
             if epoch % self.gap == 0:
-                save_checkpoint(os.path.join(self.dir, "last"), state)
+                save_checkpoint(os.path.join(self.dir, "last"),
+                                self.last_state_fn(state))
 
         if (self.save_best and eval_stats is not None
                 and self.best_key in eval_stats):
@@ -185,6 +202,18 @@ class SnapshotManager:
                 self.best_value = v
                 save_checkpoint(os.path.join(self.dir, "best"),
                                 self.best_state_fn(state))
+
+
+def snapshot_meta(path: str) -> dict:
+    """meta.json of a checkpoint dir or a run log_dir ({} if absent)."""
+    path = _abs(path)
+    for cand in (os.path.join(path, "meta.json"),
+                 os.path.join(path, "checkpoints", "meta.json"),
+                 os.path.join(os.path.dirname(path), "meta.json")):
+        if os.path.exists(cand):
+            with open(cand) as f:
+                return json.load(f)
+    return {}
 
 
 def restore_run(path: str, template: Any) -> tuple[Any, int]:
