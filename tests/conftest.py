@@ -115,5 +115,10 @@ def pytest_collection_modifyitems(config, items):
         base = item.nodeid.split("[")[0]
         if base in _NIGHTLY:
             item.add_marker(pytest.mark.nightly)
+        elif item.get_closest_marker("nightly") is not None:
+            # per-param nightly marks (e.g. the ant/humanoid gymnasium
+            # parity cases) must not ALSO inherit slow, or `-m slow`
+            # would still select them
+            continue
         elif base in _SLOW:
             item.add_marker(pytest.mark.slow)
