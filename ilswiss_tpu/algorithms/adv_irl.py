@@ -432,13 +432,17 @@ class AdvIRL:
             m2_b = jnp.sum(jnp.square(r - mean_b))
         else:
             w = weight.reshape(-1)
-            n_b = jnp.maximum(jnp.sum(w), 1.0)
-            mean_b = jnp.sum(w * r) / n_b
+            # keep the TRUE valid count: an all-masked batch must be a
+            # no-op (n_b = 0 zeroes every merge term below), not a
+            # phantom zero-reward observation pulling the mean to 0
+            n_b = jnp.sum(w)
+            mean_b = jnp.sum(w * r) / jnp.maximum(n_b, 1.0)
             m2_b = jnp.sum(w * jnp.square(r - mean_b))
         delta = mean_b - mean
         n = count + n_b
-        mean = mean + delta * n_b / n
-        m2 = m2 + m2_b + jnp.square(delta) * count * n_b / n
+        denom = jnp.maximum(n, 1.0)
+        mean = mean + delta * n_b / denom
+        m2 = m2 + m2_b + jnp.square(delta) * count * n_b / denom
         std = jnp.sqrt(jnp.maximum(m2 / jnp.maximum(n - 1.0, 1.0), 1e-12))
         state = state.replace(rew_stats=(n, mean, m2))
         return state, rew / (std + 1e-8)

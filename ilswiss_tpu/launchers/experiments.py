@@ -308,7 +308,13 @@ def _maybe_resume(variant: Dict | None, logger: Logger, runner):
     )
     path = str(variant["load_params"])
     meta = snapshot_meta(path)
-    if meta.get("light"):
+    if meta.get("light") or os.path.basename(
+            path.rstrip("/")) == "best":
+        # 'best' snapshots are ALWAYS params-only ({"algo_state": ...},
+        # what gen_expert/render consume), independent of the run's
+        # light flag — route them through the light path rather than
+        # failing a full-runner template restore.  Note meta['epoch']
+        # tracks the last 'last' save, not the best epoch.
         algo_state = restore_subtree(
             _resolve_last(path), runner.algo_state, key="algo_state")
         runner = runner.replace(algo_state=algo_state)
@@ -391,6 +397,12 @@ def _run_off_policy(algo, vec, rl: Dict, logger: Logger, seed: int,
     if resumed != "full":
         runner = warmup(runner)
         logger.log(f"warmup done: {int(runner.total_env_steps)} env steps")
+    # a light resume restores params only: the on-device per-env step
+    # counters restart at the warmup count, so offset the LOGGED
+    # TotalEnvSteps by the resumed epochs (host paths do the same via
+    # runner.replace; here the counter is a traced per-env array)
+    steps_offset = (start_epoch * steps_per_epoch
+                    if resumed == "light" else 0)
 
     from ilswiss_tpu.utils.guards import (
         PreemptionGuard, check_finite_metrics, enable_debug_nans,
@@ -423,7 +435,7 @@ def _run_off_policy(algo, vec, rl: Dict, logger: Logger, seed: int,
                            prefix="trainer/")
         logger.record_dict({k: float(v) for k, v in eval_stats.items()})
         logger.record_tabular("TotalEnvSteps",
-                              int(np.sum(jax.device_get(
+                              steps_offset + int(np.sum(jax.device_get(
                                   runner.total_env_steps))))
         logger.record_tabular("TrainTime", train_time)
         logger.record_tabular("EvalTime", eval_time)
@@ -1162,7 +1174,16 @@ def _hbm_replay_capacity(requested: int, obs_shape, logger: Logger,
     currently-free memory (memory_stats when the backend reports it,
     16 GB v5e assumption otherwise); the spec value is an upper bound,
     never exceeded.  Round-4 postmortem: a hand-sized 50k ring OOM'd
-    the 16 GB chip; this derives the bound instead of guessing."""
+    the 16 GB chip; this derives the bound instead of guessing.
+
+    CAVEAT (full-snapshot resume): the derived value depends on
+    launch-time free HBM, so a `light_snapshots: false` run resumed
+    under different memory pressure could build a template ring whose
+    shape mismatches the checkpoint (orbax restore then fails loudly).
+    Light snapshots — the default for visual runs — sidestep this: the
+    ring is rebuilt fresh, only params are restored.  If you need full
+    rings across resumes, pin `replay_buffer_size` at/below any
+    previously-derived value."""
     bytes_per = 2 * int(np.prod(obs_shape))  # uint8 obs + next_obs row
     dev = jax.devices()[0]
     try:
@@ -1251,6 +1272,10 @@ def _run_host_sac_ae(variant: Dict, rl: Dict, logger: Logger, seed: int,
         class _CropActing:
             init = staticmethod(algo.init)
             train_step = staticmethod(algo.train_step)
+            # forward the acting-slice projection, or every per-segment
+            # params snapshot ships the FULL state (critics, decoder,
+            # five optimizers) over the tunnel instead of the actor+enc
+            acting_state = staticmethod(algo.acting_state)
 
             @staticmethod
             def act(s, o, k, deterministic=False):

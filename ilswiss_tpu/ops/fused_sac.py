@@ -434,6 +434,13 @@ def fused_sac_chain(sac, state, batches: Dict[str, jnp.ndarray],
         jnp.asarray(am_t, jnp.float32),
         jnp.asarray(av_t, jnp.float32),
     ]).reshape(3, 1)
+    # KNOWN LIMITATION: one shared Adam step counter.  The kernel's
+    # bias correction uses t = p_count + k + 1 for ALL three optimizers
+    # — exact while policy/qf/alpha counts advance in lockstep, which
+    # every shipped config does (train_step always steps all three).
+    # If counts ever diverge (e.g. resuming a train_alpha=false run
+    # with train_alpha flipped on), the alpha/qf corrections would be
+    # computed at the policy's t; use the scan path for such resumes.
     t0 = jnp.asarray(p_count, jnp.int32).reshape(1, 1)
 
     rew = batches["reward"].reshape(K, B, 1).astype(jnp.float32)

@@ -239,7 +239,18 @@ def restore_across_topology(path: str,
     shard_of_row = np.arange(g_rows, dtype=np.int64) // cap_old
     remapped = raw_ep + shard_of_row * (n_envs_old * _EP_STRIDE)
     remapped[raw_ep < 0] = -1
-    ep_id = repack(remapped).astype(np.asarray(raw["replay"]["ep_id"]).dtype)
+    ep_dtype = np.asarray(raw["replay"]["ep_id"]).dtype
+    # the remap is computed in int64; refuse to silently wrap when
+    # casting back (n_old * n_envs_old * 2^20 exceeds int32 above
+    # ~2048 global envs — wrapped ids would alias episodes, the exact
+    # bug this remap exists to prevent)
+    if remapped.max(initial=0) > np.iinfo(ep_dtype).max:
+        raise ValueError(
+            f"migrated ep_ids exceed {ep_dtype} "
+            f"(max {remapped.max()}): too many global envs "
+            f"({n_old} shards x {n_envs_old} envs) for the "
+            f"{_EP_STRIDE:#x} stride — widen replay ep_id dtype")
+    ep_id = repack(remapped).astype(ep_dtype)
     # rows never written keep the "invalid" marker
     for j in range(n_new):
         ep_id[j * cap_new + sizes_new[j]:(j + 1) * cap_new] = -1

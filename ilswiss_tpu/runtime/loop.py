@@ -151,7 +151,12 @@ class OffPolicyLoop:
         rng, k_steps = jax.random.split(runner.rng)
         keys = jax.random.split(k_steps, self.grad_steps_per_iter)
         if (getattr(self.algo, "use_fused_chain", False)
-                and self.sample_fn is replay_sample):
+                and self.sample_fn is replay_sample
+                # the kernel applies LOCAL grads only — under a mesh
+                # axis the scan path's per-step pmean (sac.py _pmean)
+                # is what keeps replicas identical, so distributed
+                # runs must take the scan path
+                and getattr(self.algo, "axis_name", None) is None):
             # the whole K-step chain as ONE Pallas kernel
             # (ops/fused_sac.py); key derivation matches the scan path
             algo_state, metrics = self.algo.train_chain(

@@ -29,7 +29,7 @@ def pytest_configure(config):
     )
 
 
-# Smoke gate (VERDICT r3 #9): `pytest -m 'not slow'` runs the fast
+# Smoke gate (VERDICT r3 #9): `pytest -m 'not slow and not nightly'` runs the fast
 # correctness suite in <2 min; the full suite is unchanged.  Tests are
 # marked from measured durations (>=4 s on the 8-virtual-device CPU
 # backend) rather than per-file decorators so new tests default to the
